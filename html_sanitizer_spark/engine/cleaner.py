@@ -1,0 +1,223 @@
+"""Coarse and strict cleaning passes + autolink.
+
+Re-creates the behavior the reference gets from ``lxml.html.clean.Cleaner``
+(first pass: sanitizer.py:289-299; second pass: sanitizer.py:434-440) and
+``lxml.html.clean.autolink`` (sanitizer.py:428-431), implemented over our
+stdlib tree. Comments/PIs/doctype junk never reach the tree (dropped by the
+parser), which matches the Cleaner's unconditional comment/PI removal.
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+
+from .tree import Element
+
+__all__ = ["coarse_clean", "strict_clean", "autolink", "add_nofollow_links"]
+
+# Elements removed WITH their content (lxml Cleaner kill_tags under the
+# reference's first-pass flags: scripts/frames/links/meta on; style
+# conditional). Tails survive (drop_tree semantics).
+_KILL_BASE = frozenset(
+    "script applet frame frameset noframes iframe meta link".split()
+)
+# Elements unwrapped (content kept) in the coarse pass (lxml remove_tags:
+# page_structure + embedded under the same flags).
+_UNWRAP_BASE = frozenset("head html title embed object param layer".split())
+
+_JS_SCHEME_RE = re.compile(r"^[\s\x00-\x1f]*javascript\s*:", re.I)
+_URL_ATTRS = ("href", "src", "action", "formaction")
+
+
+def _has_js_scheme(value: str) -> bool:
+    # Percent-encoded schemes count too (tests.py:92 javascript%3Aalert).
+    unquoted = urllib.parse.unquote(value)
+    flat = re.sub(r"[\s\x00-\x1f]+", "", unquoted)
+    return bool(re.match(r"(?i)^javascript:", flat)) or bool(
+        _JS_SCHEME_RE.match(unquoted)
+    )
+
+
+def coarse_clean(root: Element, allowed_tags: frozenset | set) -> None:
+    """First Cleaner pass: kill dangerous subtrees, neutralize javascript.
+
+    ``style`` elements are killed unless 'style' is an allowed tag
+    (sanitizer.py:291-292); style *attributes* are kept for the
+    span->strong/em conversion (sanitizer.py:293-296).
+    """
+    kill = set(_KILL_BASE)
+    if "style" not in allowed_tags:
+        kill.add("style")
+
+    doomed = [el for el in root.iterdescendants() if el.tag in kill]
+    for el in doomed:
+        if el.getparent() is not None:
+            el.drop_tree()
+
+    unwrap = [el for el in root.iterdescendants() if el.tag in _UNWRAP_BASE]
+    for el in unwrap:
+        if el.getparent() is not None:
+            el.drop_tag()
+
+    # javascript neutralization (Cleaner(javascript=True) analog): drop
+    # event-handler attributes, blank javascript: URLs.
+    for el in root.iterdescendants():
+        attrib = el.attrib
+        for name in list(attrib):
+            if name.startswith("on"):
+                del attrib[name]
+        for name in _URL_ATTRS:
+            val = attrib.get(name)
+            if val and _has_js_scheme(val):
+                attrib[name] = ""
+
+
+def add_nofollow_links(root: Element) -> None:
+    """Add rel="nofollow" to external links (Cleaner(add_nofollow=True);
+    external = non-empty href whose first char is not '#'). Reference wiring:
+    sanitizer.py:438; asserted by tests.py:189-199,229-240."""
+    for el in root.iterdescendants():
+        if el.tag != "a":
+            continue
+        href = (el.get("href") or "").strip()
+        if not href or href.startswith("#"):
+            continue
+        rel = el.get("rel")
+        if rel:
+            if "nofollow" in rel.split():
+                continue
+            el.set("rel", rel + " nofollow")
+        else:
+            el.set("rel", "nofollow")
+
+
+def strict_clean(root: Element, allowed_tags: frozenset | set) -> None:
+    """Second Cleaner pass (allow_tags=...): unwrap every element whose tag
+    is not allowed, keeping text/children (sanitizer.py:434-440). The
+    synthetic root is never dropped (lxml retags a disallowed root to <div>
+    instead of dropping it)."""
+    doomed = [el for el in root.iterdescendants() if el.tag not in allowed_tags]
+    for el in doomed:
+        if el.getparent() is not None:
+            el.drop_tag()
+
+
+# ---------------------------------------------------------------------------
+# autolink — semantics of lxml.html.clean.autolink with its default
+# link_regexes / avoid_elements / avoid_hosts (sanitizer.py:428-431,
+# tests.py:209-256).
+# ---------------------------------------------------------------------------
+
+_LINK_REGEXES = [
+    re.compile(
+        r"(?P<body>https?://(?P<host>[a-z0-9._-]+)(:[0-9]+)?(?P<path>/[^ \n\r]*)?)",
+        re.I,
+    ),
+    re.compile(r"mailto:(?P<body>[a-z0-9._-]+@(?P<host>[a-z0-9_.-]+[a-z]))", re.I),
+]
+_AVOID_ELEMENTS = frozenset(
+    ["textarea", "pre", "code", "head", "select", "a", "script", "style"]
+)
+_AVOID_HOSTS = [
+    re.compile(r"^localhost", re.I),
+    re.compile(r"\blocal\.", re.I),
+    re.compile(r"^127\.0\.0\.1$"),
+]
+_AVOID_CLASSES = ("nolink",)
+
+
+def autolink(el: Element, avoid_hosts=None, avoid_elements=None, avoid_classes=None):
+    """Wrap bare URLs in text content with <a href> elements."""
+    if avoid_hosts is None:
+        avoid_hosts = _AVOID_HOSTS
+    else:
+        avoid_hosts = [
+            re.compile(p) if isinstance(p, str) else p for p in avoid_hosts
+        ]
+    if avoid_elements is None:
+        avoid_elements = _AVOID_ELEMENTS
+    if avoid_classes is None:
+        avoid_classes = _AVOID_CLASSES
+    _autolink_walk(el, avoid_hosts, avoid_elements, avoid_classes)
+
+
+def _autolink_walk(root, avoid_hosts, avoid_elements, avoid_classes):
+    # Iterative: deep documents must not exhaust the recursion limit.
+    # An avoided element prunes its whole subtree; a child's *tail* belongs
+    # to the parent's context and is linked regardless of the child's own
+    # avoidance (matching lxml's recursion structure).
+    todo = [root]
+    while todo:
+        el = todo.pop()
+        if el.tag in avoid_elements:
+            continue
+        cls = el.get("class")
+        if cls and any(c in cls.split() for c in avoid_classes):
+            continue
+        for child in list(el):
+            todo.append(child)
+            if child.tail:
+                text, new_links = _link_text(child.tail, avoid_hosts)
+                if new_links:
+                    child.tail = text
+                    idx = el.index(child)
+                    for off, link in enumerate(new_links):
+                        el.insert(idx + 1 + off, link)
+        if el.text:
+            text, new_links = _link_text(el.text, avoid_hosts)
+            if new_links:
+                el.text = text
+                for off, link in enumerate(new_links):
+                    el.insert(off, link)
+
+
+def _link_text(text: str, avoid_hosts):
+    """Split text into (leading_text, [<a> elements with tails])."""
+    leading = ""
+    links: list[Element] = []
+    pos = 0
+    while True:
+        best = None
+        for regex in _LINK_REGEXES:
+            search_from = pos
+            while True:
+                m = regex.search(text, search_from)
+                if m is None:
+                    break
+                host = m.group("host")
+                if any(h.search(host) for h in avoid_hosts):
+                    search_from = m.end()
+                    continue
+                break
+            if m is None:
+                continue
+            if best is None or m.start() < best.start():
+                best = m
+        if best is None:
+            rest = text[pos:]
+            if links:
+                links[-1].tail = (links[-1].tail or "") + rest
+            else:
+                leading += rest
+            break
+        link_target = best.group(0)
+        end = best.end()
+        # trailing sentence punctuation should not end a link
+        while link_target and link_target[-1] in ".,":
+            link_target = link_target[:-1]
+            end -= 1
+        between = text[pos:best.start()]
+        if links:
+            links[-1].tail = between
+        else:
+            leading = between
+        anchor = Element("a")
+        anchor.set("href", link_target)
+        body = best.group("body") or link_target
+        while body and body[-1] in ".,":
+            body = body[:-1]
+        anchor.text = body
+        links.append(anchor)
+        pos = end
+    return leading, links

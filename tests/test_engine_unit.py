@@ -1,0 +1,118 @@
+"""Engine unit tests: settings validation (mirrors tests.py:598-606),
+idempotence over the golden corpus, and parser/tree edge behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from html_sanitizer_spark.engine.core import sanitize
+from html_sanitizer_spark.engine.parser import decode_entities, parse_fragment
+from html_sanitizer_spark.engine.settings import Settings, get_settings, sanitize_href
+
+from .golden_cases import CASES, CONFIGS
+
+
+class TestSettingsValidation:
+    def test_attr_value_not_a_set(self):
+        with pytest.raises(TypeError, match="Expected a set but got"):
+            Settings({"attributes": {"p": ("class")}})
+
+    def test_tags_not_a_set(self):
+        with pytest.raises(TypeError, match="Expected a set but got"):
+            Settings({"tags": "blub"})
+
+    def test_empty_not_subset(self):
+        with pytest.raises(TypeError, match='Tags in "empty", but not allowed:'):
+            Settings({"tags": {"blub"}})
+
+    def test_separate_not_subset(self):
+        with pytest.raises(TypeError, match='Tags in "separate", but not allowed:'):
+            Settings({"tags": {"p"}, "empty": set(), "attributes": {}})
+
+    def test_no_tags(self):
+        with pytest.raises(TypeError, match="Empty list of allowed tags"):
+            Settings({"tags": set(), "empty": set(), "separate": set(),
+                      "attributes": {}})
+
+    def test_target_requires_rel(self):
+        with pytest.raises(TypeError, match='Always allow "rel"'):
+            Settings({"attributes": {"a": ("href", "target")}})
+
+    def test_registry_unknown(self):
+        with pytest.raises(KeyError):
+            get_settings("no-such-config")
+
+
+class TestHrefPolicy:
+    @pytest.mark.parametrize("href", ["/x", "#f", "mailto:a@b", "tel:1",
+                                      "http://x", "https://x"])
+    def test_allowed(self, href):
+        assert sanitize_href(href) == href
+
+    @pytest.mark.parametrize("href", ["javascript:alert()", "data:text/html",
+                                      "ftp://x", "", "jAvAsCrIpT:x"])
+    def test_rejected(self, href):
+        assert sanitize_href(href) == "#"
+
+
+class TestIdempotence:
+    """sanitize(sanitize(x)) == sanitize(x) — the reference's after=None
+    convention implies its output is a fixed point.
+
+    Three cases are genuine non-fixed-points of the *reference* semantics as
+    well and are excluded: escaped unknown entities (``&amp;xxe;``) re-decode
+    to ``&xxe;`` on a second parse, and multi-space top-level text (built by
+    unwrapping adjacent elements after per-node normalization) collapses on
+    a second pass. Our engine matches the reference on both behaviors.
+    """
+
+    _FIXPOINT_CASES = [
+        c for c in CASES
+        if c.case_id not in {"blob[0]", "billion_laughs[0]", "billion_laughs[1]"}
+    ]
+
+    @pytest.mark.parametrize(
+        "case", _FIXPOINT_CASES, ids=[c.case_id for c in _FIXPOINT_CASES]
+    )
+    def test_fixed_point(self, case):
+        settings = Settings(CONFIGS[case.config])
+        once = sanitize(case.before, settings)
+        twice = sanitize(once, settings)
+        assert twice == once
+
+
+class TestParser:
+    def test_literal_lt(self):
+        root = parse_fragment("<div>a<>b</div>")
+        assert root[0].text == "a<>b"
+
+    def test_unknown_entity_literal(self):
+        assert decode_entities("&lol9; &amp; &#65;") == "&lol9; & A"
+
+    def test_incomplete_tag_dropped(self):
+        root = parse_fragment("<div>x<p")
+        assert root[0].text == "x"
+        assert len(root[0]) == 0
+
+    def test_p_closes_p(self):
+        root = parse_fragment("<div><p>a<p>b</div>")
+        div = root[0]
+        assert [c.tag for c in div] == ["p", "p"]
+
+    def test_unmatched_end_ignored(self):
+        root = parse_fragment("<div>a</strong>b</div>")
+        assert root[0].text == "ab"
+
+    def test_void_never_nests(self):
+        root = parse_fragment("<div><br>text</div>")
+        div = root[0]
+        assert div[0].tag == "br"
+        assert div[0].tail == "text"
+
+    def test_raw_style_content(self):
+        root = parse_fragment("<div><style>a < b & c</style></div>")
+        assert root[0][0].text == "a < b & c"
+
+    def test_crlf_normalized(self):
+        root = parse_fragment("<div>a\r\nb\rc</div>")
+        assert root[0].text == "a\nb\nc"
