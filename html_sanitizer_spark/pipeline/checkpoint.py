@@ -1,0 +1,157 @@
+"""Checkpointed, idempotently-resumable batch runs (north_rule requirement).
+
+Production design targets Iceberg: each bucket commit is an Iceberg
+append/overwrite snapshot and the manifest is redundant with the table's own
+snapshot log. This sandbox has no Iceberg runtime jar, so the same protocol
+runs over plain parquet with an Iceberg-style JSON manifest we own:
+
+    out_dir/
+      _sanitize_manifest.json     # atomic (write-tmp + rename) commit record
+      bucket=<k>/part-*.parquet   # one dir per doc_id hash bucket
+      _lineage/bucket=<k>/...     # per-partition lineage rows per bucket
+
+Protocol:
+- bucket(doc) = pmod(xxhash64(doc_id), n_buckets) — stable under retries.
+- A bucket is processed with overwrite semantics (re-running a
+  half-written bucket is safe) and only then recorded in the manifest;
+  the manifest rename is the commit point.
+- Resume = skip buckets already in the manifest (the left-anti-join of
+  SURVEY.md §2.3 J3, done driver-side on bucket ids since the manifest is
+  tiny).
+- The manifest records a config fingerprint; resuming with a different
+  config or bucket count refuses rather than mixing outputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..configs import settings_for
+from .job import explode_spans, lineage_metrics, reassemble_spans, sanitize_exploded
+
+__all__ = ["CheckpointedRun", "run_checkpointed"]
+
+MANIFEST_NAME = "_sanitize_manifest.json"
+
+
+def _config_fingerprint(settings_obj) -> str:
+    basis = {
+        "tags": sorted(settings_obj.tags),
+        "empty": sorted(settings_obj.empty),
+        "separate": sorted(settings_obj.separate),
+        "whitespace": sorted(settings_obj.whitespace),
+        "attributes": {k: sorted(v) for k, v in sorted(settings_obj.attributes.items())},
+        "keep_typographic_whitespace": settings_obj.keep_typographic_whitespace,
+        "add_nofollow": bool(settings_obj.add_nofollow),
+        "autolink": repr(settings_obj.autolink),
+        "hooks": [
+            getattr(f, "__qualname__", repr(f))
+            for f in (
+                *settings_obj.element_preprocessors,
+                *settings_obj.element_postprocessors,
+                settings_obj.sanitize_href,
+                settings_obj.is_mergeable,
+            )
+        ],
+    }
+    return hashlib.sha256(json.dumps(basis, sort_keys=True).encode()).hexdigest()[:16]
+
+
+@dataclass
+class CheckpointedRun:
+    out_dir: str
+    n_buckets: int
+    config_fingerprint: str
+    done: list[int] = field(default_factory=list)
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.out_dir, MANIFEST_NAME)
+
+    @classmethod
+    def load_or_create(cls, out_dir: str, n_buckets: int, fingerprint: str):
+        path = os.path.join(out_dir, MANIFEST_NAME)
+        if os.path.exists(path):
+            with open(path) as fh:
+                m = json.load(fh)
+            if m["config_fingerprint"] != fingerprint:
+                raise ValueError(
+                    "Refusing to resume: manifest config fingerprint "
+                    f"{m['config_fingerprint']} != current {fingerprint}"
+                )
+            if m["n_buckets"] != n_buckets:
+                raise ValueError(
+                    f"Refusing to resume: manifest n_buckets {m['n_buckets']}"
+                    f" != requested {n_buckets}"
+                )
+            return cls(out_dir, n_buckets, fingerprint, list(m["done"]))
+        os.makedirs(out_dir, exist_ok=True)
+        return cls(out_dir, n_buckets, fingerprint)
+
+    def commit_bucket(self, bucket: int) -> None:
+        """Atomic manifest update AFTER the bucket's data is fully written:
+        write to a temp file in the same directory, then rename (the POSIX
+        atomic commit; on object stores this is an Iceberg snapshot commit
+        instead)."""
+        if bucket not in self.done:
+            self.done.append(bucket)
+        payload = {
+            "n_buckets": self.n_buckets,
+            "config_fingerprint": self.config_fingerprint,
+            "done": sorted(self.done),
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.out_dir, prefix="._manifest")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    settings=None,
+    n_buckets: int = 8,
+    salt_buckets: int = 32,
+    fail_after_bucket: int | None = None,
+) -> CheckpointedRun:
+    """Sanitize ``df`` into ``out_dir`` bucket-by-bucket with resume.
+
+    ``fail_after_bucket`` is a test hook: raise after committing that many
+    buckets to simulate a mid-run crash.
+    """
+    settings_obj = settings_for(settings)
+    fp = _config_fingerprint(settings_obj)
+    run = CheckpointedRun.load_or_create(out_dir, n_buckets, fp)
+
+    bucketed = df.withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+    )
+    todo = [b for b in range(n_buckets) if b not in run.done]
+    for k, bucket in enumerate(todo):
+        part = bucketed.filter(F.col("_bucket") == bucket).drop("_bucket")
+        clean = sanitize_exploded(explode_spans(part), settings_obj, salt_buckets)
+        clean = clean.persist()
+        result = reassemble_spans(clean, two_phase=True, salt_buckets=salt_buckets)
+        result.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"bucket={bucket}")
+        )
+        lineage_metrics(clean).withColumn("bucket", F.lit(bucket)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "_lineage", f"bucket={bucket}"))
+        clean.unpersist()
+        run.commit_bucket(bucket)
+        if fail_after_bucket is not None and k + 1 >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {bucket}")
+    return run
+
+
+def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "bucket=*"))

@@ -1,0 +1,141 @@
+"""Core batch topology (SURVEY.md §3.4, north_rule plumbing).
+
+Exploded path (default — skew-proof):
+
+    read (doc_id, spans)
+      -> posexplode_outer(spans)                  [no shuffle: explode is
+                                                   pipelined into the scan]
+      -> repartition by pmod(xxhash64(doc_id,pos), buckets)
+                                                  [SHUFFLE 1 — salted: a
+                                                   mega-doc's spans spread
+                                                   over all buckets, so no
+                                                   straggler UDF task]
+      -> sanitize_udf on text-kind spans          [the only JVM<->Python
+                                                   Arrow hop]
+      -> two-phase reassembly:
+           groupBy(doc_id, salt) partial collect  [SHUFFLE 2a — bounded
+                                                   group size]
+           groupBy(doc_id) merge + array_sort     [SHUFFLE 2b — one row per
+                                                   doc; sort restores span
+                                                   order by pos]
+
+Nested path (``explode=False``): a single pandas UDF over the whole spans
+array — zero reassembly shuffles, order preserved trivially. Wins when doc
+sizes are tame; loses when one doc has 10^6 spans (whole doc on one core).
+``sanitize_spans`` picks per call; bench.py measures both.
+
+Order contract (north_rule): output spans equal input spans in (kind,
+media_ref, offset, order), with text-kind ``text`` sanitized — verified by
+tests/test_spark_tier1.py via span-sequence equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import make_sanitize_udf, make_span_array_udf
+
+__all__ = ["sanitize_spans", "explode_spans", "reassemble_spans", "lineage_metrics"]
+
+
+def explode_spans(df: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> (doc_id, pos, span); empty docs keep a null row."""
+    return df.select("doc_id", F.posexplode_outer("spans").alias("pos", "span"))
+
+
+def sanitize_exploded(
+    exploded: DataFrame, settings=None, salt_buckets: int | None = None
+) -> DataFrame:
+    """Apply the sanitize UDF to text-kind spans of an exploded frame.
+
+    ``salt_buckets``: when set, repartitions by a hash of (doc_id, pos) so a
+    mega-document's spans spread across that many tasks before hitting
+    Python — the skew defusal the north_rule requires. The span's own row
+    carries ``pos``, so order needs no co-location.
+    """
+    udf = make_sanitize_udf(settings)
+    if salt_buckets:
+        exploded = exploded.repartition(
+            salt_buckets, F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt_buckets))
+        )
+    clean = F.when(
+        (F.col("span.kind") == F.lit("text")) & F.col("span.text").isNotNull(),
+        udf(F.col("span.text")),
+    ).otherwise(F.col("span.text"))
+    new_span = F.struct(
+        F.col("span.kind").alias("kind"),
+        clean.alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    return exploded.select(
+        "doc_id", "pos", F.when(F.col("pos").isNotNull(), new_span).alias("span")
+    )
+
+
+def reassemble_spans(
+    clean: DataFrame, two_phase: bool = True, salt_buckets: int = 32
+) -> DataFrame:
+    """(doc_id, pos, span) -> (doc_id, spans) with order restored by pos.
+
+    Two-phase mode bounds per-group state: partial collect per
+    (doc_id, salt) — group size <= |doc| / salt_buckets — then a final merge
+    of at most ``salt_buckets`` pre-sorted chunks per doc. collect_list
+    skips null spans, so empty docs come back with an empty array rather
+    than [null].
+    """
+    keyed = F.when(
+        F.col("pos").isNotNull(), F.struct(F.col("pos").alias("pos"), F.col("span").alias("span"))
+    )
+    if two_phase:
+        partial = clean.groupBy(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt_buckets)).alias("_salt"),
+        ).agg(F.collect_list(keyed).alias("chunk"))
+        merged = partial.groupBy("doc_id").agg(
+            F.array_sort(F.flatten(F.collect_list("chunk"))).alias("keyed")
+        )
+    else:
+        merged = clean.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list(keyed)).alias("keyed")
+        )
+    return merged.select(
+        "doc_id", F.transform("keyed", lambda kv: kv["span"]).alias("spans")
+    )
+
+
+def sanitize_spans(
+    spark: SparkSession,
+    df: DataFrame,
+    settings=None,
+    explode: bool = True,
+    salt_buckets: int | None = 32,
+    two_phase: bool = True,
+) -> DataFrame:
+    """End-to-end: sanitize every text-kind span of (doc_id, spans)."""
+    if not explode:
+        udf = make_span_array_udf(settings)
+        return df.select("doc_id", udf("spans").alias("spans"))
+    clean = sanitize_exploded(explode_spans(df), settings, salt_buckets)
+    return reassemble_spans(clean, two_phase=two_phase, salt_buckets=salt_buckets or 32)
+
+
+def lineage_metrics(clean: DataFrame) -> DataFrame:
+    """Per-partition lineage over the sanitized exploded frame
+    (north_rule: per-partition lineage rows). Cheap second aggregation —
+    run it on the same cached frame as the reassembly."""
+    return (
+        clean.withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+            F.sum(
+                F.when(F.col("span.kind") == "text", F.length("span.text")).otherwise(0)
+            ).alias("text_bytes_out"),
+            F.sum(F.when(F.col("span.kind") != "text", 1).otherwise(0)).alias(
+                "n_media_spans"
+            ),
+        )
+    )

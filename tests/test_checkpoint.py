@@ -1,0 +1,75 @@
+"""Tier 3: checkpoint/resume correctness — kill after k buckets, re-run,
+output must be byte-equal to an uninterrupted run; config drift refused."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from html_sanitizer_spark.pipeline.checkpoint import (
+    MANIFEST_NAME,
+    read_checkpointed,
+    run_checkpointed,
+)
+from html_sanitizer_spark.pipeline.synth import synth_spans_df
+
+
+def _collect_sorted(df):
+    return sorted(
+        ((r["doc_id"], [tuple(s) for s in r["spans"]]) for r in df.collect()),
+    )
+
+
+def test_resume_after_crash(spark, tmp_path):
+    df = synth_spans_df(spark, 120, seed=5, mega_every=0).cache()
+
+    full_dir = str(tmp_path / "full")
+    run_checkpointed(spark, df, full_dir, n_buckets=4)
+    want = _collect_sorted(read_checkpointed(spark, full_dir))
+
+    crash_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, df, crash_dir, n_buckets=4, fail_after_bucket=2)
+    manifest = json.load(open(os.path.join(crash_dir, MANIFEST_NAME)))
+    assert len(manifest["done"]) == 2
+
+    # resume: only remaining buckets run; output identical to one-shot
+    run = run_checkpointed(spark, df, crash_dir, n_buckets=4)
+    assert sorted(run.done) == [0, 1, 2, 3]
+    got = _collect_sorted(read_checkpointed(spark, crash_dir))
+    assert got == want
+    df.unpersist()
+
+
+def test_rerun_is_idempotent(spark, tmp_path):
+    df = synth_spans_df(spark, 40, seed=9, mega_every=0)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, df, out, n_buckets=2)
+    before = _collect_sorted(read_checkpointed(spark, out))
+    run2 = run_checkpointed(spark, df, out, n_buckets=2)  # no-op: all done
+    assert sorted(run2.done) == [0, 1]
+    assert _collect_sorted(read_checkpointed(spark, out)) == before
+
+
+def test_config_drift_refused(spark, tmp_path):
+    df = synth_spans_df(spark, 10, seed=2, mega_every=0)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, df, out, n_buckets=2)
+    with pytest.raises(ValueError, match="config fingerprint"):
+        run_checkpointed(spark, df, out, settings="typographic", n_buckets=2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_checkpointed(spark, df, out, n_buckets=4)
+
+
+def test_lineage_written(spark, tmp_path):
+    df = synth_spans_df(spark, 30, seed=4, mega_every=0)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, df, out, n_buckets=2)
+    lineage = spark.read.parquet(os.path.join(out, "_lineage", "bucket=*"))
+    rows = lineage.collect()
+    assert sum(r["n_spans"] for r in rows) >= 30
+    assert {c for c in lineage.columns} >= {
+        "part_id", "n_spans", "n_docs_approx", "text_bytes_out", "bucket"
+    }
