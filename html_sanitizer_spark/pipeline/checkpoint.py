@@ -139,7 +139,7 @@ def run_checkpointed(
         part = bucketed.filter(F.col("_bucket") == bucket).drop("_bucket")
         clean = sanitize_exploded(explode_spans(part), settings_obj, salt_buckets)
         clean = clean.persist()
-        result = reassemble_spans(clean, two_phase=True, salt_buckets=salt_buckets)
+        result = reassemble_spans(clean, two_phase=True)
         result.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"bucket={bucket}")
         )

@@ -75,26 +75,43 @@ def sanitize_exploded(
 
 
 def reassemble_spans(
-    clean: DataFrame, two_phase: bool = True, salt_buckets: int = 32
+    clean: DataFrame, two_phase: bool = True, chunk_size: int = 256
 ) -> DataFrame:
     """(doc_id, pos, span) -> (doc_id, spans) with order restored by pos.
 
-    Two-phase mode bounds per-group state: partial collect per
-    (doc_id, salt) — group size <= |doc| / salt_buckets — then a final merge
-    of at most ``salt_buckets`` pre-sorted chunks per doc. collect_list
-    skips null spans, so empty docs come back with an empty array rather
-    than [null].
+    Two-phase mode bounds per-group aggregation state under mega-document
+    skew: spans first collect per (doc_id, chunk) where chunk = pos div
+    ``chunk_size`` — a *contiguous* range, so a normal (< chunk_size spans)
+    document pays exactly one group and zero extra structure, while a
+    mega-document's chunks spread over the cluster and arrive pre-sorted;
+    the final per-doc merge only orders whole chunks and flattens. This is
+    strictly cheaper than hash-salted partials (which shred every doc into
+    single-span chunks). collect_list skips null spans, so empty docs come
+    back with an empty array rather than [null].
     """
     keyed = F.when(
-        F.col("pos").isNotNull(), F.struct(F.col("pos").alias("pos"), F.col("span").alias("span"))
+        F.col("pos").isNotNull(),
+        F.struct(F.col("pos").alias("pos"), F.col("span").alias("span")),
     )
     if two_phase:
         partial = clean.groupBy(
             "doc_id",
-            F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt_buckets)).alias("_salt"),
-        ).agg(F.collect_list(keyed).alias("chunk"))
+            (F.col("pos").cast("long") / F.lit(chunk_size)).cast("long").alias("_chunk"),
+        ).agg(F.sort_array(F.collect_list(keyed)).alias("chunk_arr"))
         merged = partial.groupBy("doc_id").agg(
-            F.array_sort(F.flatten(F.collect_list("chunk"))).alias("keyed")
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_chunk").alias("c"),
+                                F.col("chunk_arr").alias("arr"),
+                            )
+                        )
+                    ),
+                    lambda kv: kv["arr"],
+                )
+            ).alias("keyed")
         )
     else:
         merged = clean.groupBy("doc_id").agg(
@@ -118,7 +135,7 @@ def sanitize_spans(
         udf = make_span_array_udf(settings)
         return df.select("doc_id", udf("spans").alias("spans"))
     clean = sanitize_exploded(explode_spans(df), settings, salt_buckets)
-    return reassemble_spans(clean, two_phase=two_phase, salt_buckets=salt_buckets or 32)
+    return reassemble_spans(clean, two_phase=two_phase)
 
 
 def lineage_metrics(clean: DataFrame) -> DataFrame:

@@ -78,7 +78,7 @@ def _h(seed: int, *parts) -> int:
     return int.from_bytes(m.digest(), "big")
 
 
-def _doc_spans(seed: int, i: int, mega_every: int) -> list[dict]:
+def _doc_spans(seed: int, i: int, mega_every: int, text_repeat: int = 1) -> list[dict]:
     h0 = _h(seed, i, "n")
     if mega_every and i % mega_every == mega_every - 1:
         n_spans = 2000 + h0 % 8001  # mega-doc: 2k-10k spans
@@ -100,6 +100,10 @@ def _doc_spans(seed: int, i: int, mega_every: int) -> list[dict]:
             text = frag.format(
                 w=_WORDS[hj % len(_WORDS)], w2=_WORDS[(hj >> 8) % len(_WORDS)]
             )
+            if text_repeat > 1:
+                # fatten the span for compute-bound benchmarking; repeated
+                # fragments keep sanitize cost linear in length
+                text = " ".join([text] * text_repeat)
             media_ref = ""
         spans.append(
             {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
@@ -114,6 +118,7 @@ def synth_spans_df(
     seed: int = 42,
     mega_every: int = 10_000,
     partitions: int | None = None,
+    text_repeat: int = 1,
 ) -> DataFrame:
     """Distributed deterministic generation: one row per doc_id."""
 
@@ -123,7 +128,10 @@ def synth_spans_df(
             yield pd.DataFrame(
                 {
                     "doc_id": [f"doc{int(i):012d}" for i in ids],
-                    "spans": [_doc_spans(seed, int(i), mega_every) for i in ids],
+                    "spans": [
+                        _doc_spans(seed, int(i), mega_every, text_repeat)
+                        for i in ids
+                    ],
                 }
             )
 

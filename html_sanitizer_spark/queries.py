@@ -1,0 +1,874 @@
+"""Operator registry backing ``__spark_entry__.py``.
+
+One entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis).
+Each entry is (spark_builder, duckdb_oracle_sql | None). Oracle-less
+entries are genuinely non-SQL-expressible (the tree-walking sanitizer,
+hash-function-specific sketches) and get the driver's rows-only check.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark builder and the oracle SQL (the driver hash-compares after sorting
+columns by name). Floats are rounded to 4 decimals on both sides; float
+reorder noise is ~1e-12, far below the rounding grain, so hashes match.
+
+DuckDB dialect notes baked into the oracles: ``regexp_replace`` needs the
+'g' flag (Spark is global by default); ``range(a,b)`` is end-exclusive;
+backreferences are ``\\1`` (Java: ``$1``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["REGISTRY", "spark_queries", "oracle_queries", "docs", "flagship"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a small-file scan out to all cores before an expensive map phase.
+
+    The sf* driver tables are single parquet splits, so without this the
+    whole shingle/digest/sanitize map work serializes on one task. On real
+    multi-split 100TB inputs this is a no-op decision: the scan already
+    yields thousands of partitions and the repartition should be skipped —
+    hence round-robin on the *existing* row order, costing one narrow-ish
+    shuffle of the small input."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-split parquet: fan out before the per-element vector math
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+docs = _docs
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "on", "for", "is", "with"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+_STOP_SPARK = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# SQL-shaped sanitizer operators (SURVEY.md §2.2, §2.8) — the scalar pieces
+# of the engine that are expressible as native Spark SQL, verified 1:1
+# against DuckDB on driver tables.
+# ---------------------------------------------------------------------------
+
+def q_href_sanitize(spark, sf_dir):
+    """P4 href-protocol policy (sanitizer.py:12-21) over synthesized hrefs."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    href = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("javascript:alert("), sid, F.lit(")")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://"), F.col("source"), F.lit("/"), sid))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/rel/"), sid))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("ftp://"), F.col("source")))
+        .otherwise(F.concat(F.lit("mailto:u"), sid, F.lit("@example.org")))
+    )
+    return d.select(
+        "doc_id",
+        href.alias("href"),
+        F.when(href.rlike("^(/|#|mailto:|tel:|https?:)"), href)
+        .otherwise(F.lit("#"))
+        .alias("safe_href"),
+    )
+
+
+_ORACLE_HREF = """
+WITH h AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 5 = 0 THEN 'javascript:alert(' || doc_id::VARCHAR || ')'
+           WHEN doc_id % 5 = 1 THEN 'https://' || source || '/' || doc_id::VARCHAR
+           WHEN doc_id % 5 = 2 THEN '/rel/' || doc_id::VARCHAR
+           WHEN doc_id % 5 = 3 THEN 'ftp://' || source
+           ELSE 'mailto:u' || doc_id::VARCHAR || '@example.org'
+         END AS href
+  FROM documents)
+SELECT doc_id, href,
+       CASE WHEN regexp_matches(href, '^(/|#|mailto:|tel:|https?:)')
+            THEN href ELSE '#' END AS safe_href
+FROM h
+"""
+
+
+def q_control_char_filter(spark, sf_dir):
+    """P5 control-character strip (sanitizer.py:115-119)."""
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(F.lit("\x01\x02"), F.col("text"), F.lit("\x1f"), F.lit("x"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(dirty, "[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "").alias(
+            "clean_text"
+        ),
+    )
+
+
+_ORACLE_CONTROL = r"""
+SELECT doc_id,
+       regexp_replace(chr(1) || chr(2) || text || chr(31) || 'x',
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean_text
+FROM documents
+"""
+
+
+def q_whitespace_normalize(spark, sf_dir):
+    """F2 overall whitespace collapse (sanitizer.py:47-69), ASCII class to
+    keep Java/RE2 semantics identical."""
+    d = _docs(spark, sf_dir)
+    padded = F.concat(F.lit("  \t"), F.col("text"), F.lit(" \n\r "))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(padded, "[ \t\n\r]+", " ").alias("norm_text"),
+    )
+
+
+_ORACLE_WS = r"""
+SELECT doc_id,
+       regexp_replace('  ' || chr(9) || text || ' ' || chr(10) || chr(13) || ' ',
+                      '[ \t\n\r]+', ' ', 'g') AS norm_text
+FROM documents
+"""
+
+
+def q_li_marker_strip(spark, sf_dir):
+    """P8 copy-paste list-marker strip (sanitizer.py:346-350)."""
+    d = _docs(spark, sf_dir)
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(" - "), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("* "), F.col("text")))
+        .otherwise(F.concat(F.lit("&#183; "), F.col("text")))
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(raw, r"^\s*(-|\*|&#183;)\s+", "").alias("stripped"),
+    )
+
+
+_ORACLE_LI = r"""
+SELECT doc_id,
+       regexp_replace(
+         CASE WHEN doc_id % 3 = 0 THEN ' - ' || text
+              WHEN doc_id % 3 = 1 THEN '* ' || text
+              ELSE '&#183; ' || text END,
+         '^\s*(-|\*|&#183;)\s+', '', 'g') AS stripped
+FROM documents
+"""
+
+
+def q_post_regexes(spark, sf_dir):
+    """F6 self-close spacing + F7 wrapper-div strip (sanitizer.py:444-448)."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(F.lit("<div><br/>"), F.col("text"), F.lit("<hr/></div>"))
+    spaced = F.regexp_replace(html, r"<([^/>]+)/>", r"<$1 />")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(spaced, r"^<div>|</div>$", "").alias("unwrapped"),
+    )
+
+
+_ORACLE_POST = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace('<div><br/>' || text || '<hr/></div>',
+                        '<([^/>]+)/>', '<\1 />', 'g'),
+         '^<div>|</div>$', '', 'g') AS unwrapped
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-topology operators (SURVEY.md §2.3-2.6): explode/reassemble
+# round-trip, ordered sibling merge as a window computation, lineage rollup.
+# ---------------------------------------------------------------------------
+
+def q_span_roundtrip(spark, sf_dir):
+    """A4/O2: posexplode -> order-restoring collect_list round-trip."""
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda kv: kv["word"],
+            ),
+            " ",
+        ).alias("rebuilt"),
+    )
+
+
+_ORACLE_ROUNDTRIP = """
+SELECT doc_id, count(*) AS n_tokens,
+       string_agg(word, ' ' ORDER BY pos) AS rebuilt
+FROM (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_merge_segments(spark, sf_dir):
+    """A1/A2/W1 relational analog: run-length merge of adjacent same-kind
+    rows per key via lag() (the reference's getnext() check as a window)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.withColumn(
+        "new_seg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_seg").alias("n_segments"),
+    )
+
+
+_ORACLE_SEGMENTS = """
+SELECT user_id, count(*) AS n_events, sum(new_seg)::BIGINT AS n_segments
+FROM (SELECT user_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS new_seg
+      FROM events)
+GROUP BY user_id
+"""
+
+
+def q_lineage_rollup(spark, sf_dir):
+    """A5 metrics rollup shape: partition-level counters."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct("doc_id").alias("n_distinct_docs"),
+    )
+
+
+_ORACLE_LINEAGE = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       count(DISTINCT doc_id) AS n_distinct_docs
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest; keeper = min doc_id."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures (k=8) + LSH band keys (4 bands x 2 rows) — the
+    shingle->minhash->band->bucket pipeline, portable because the hash is
+    md5. One digest per shingle; the 8 'permutations' are 8 overlapping
+    8-hex-char windows of it (distinct min-wise orderings, 8x cheaper than
+    8 keyed digests)."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 3))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text)-2, 1)),"
+                   " i -> substring(text, i, 3))")
+        ).alias("shingle"),
+    ).select("doc_id", F.md5(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(F.substring(F.col("h"), 3 * j + 1, 8)).alias(f"sig{j}")
+        for j in range(8)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(
+                f"band{b}"
+            )
+            for b in range(4)
+        ],
+    )
+    return bands
+
+
+_ORACLE_MINHASH = """
+WITH sh AS (
+  SELECT doc_id, md5(unnest(list_transform(range(1, greatest(len(text)-2, 1) + 1),
+                                           i -> substr(text, i, 3)))) AS h
+  FROM documents WHERE len(text) >= 3),
+sigs AS (
+  SELECT doc_id,
+         min(substr(h,  1, 8)) AS sig0, min(substr(h,  4, 8)) AS sig1,
+         min(substr(h,  7, 8)) AS sig2, min(substr(h, 10, 8)) AS sig3,
+         min(substr(h, 13, 8)) AS sig4, min(substr(h, 16, 8)) AS sig5,
+         min(substr(h, 19, 8)) AS sig6, min(substr(h, 22, 8)) AS sig7
+  FROM sh GROUP BY doc_id)
+SELECT doc_id,
+       md5(sig0 || sig1) AS band0, md5(sig2 || sig3) AS band1,
+       md5(sig4 || sig5) AS band2, md5(sig6 || sig7) AS band3
+FROM sigs
+"""
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs sharing any band bucket (the band->bucket
+    self-join), deduplicated. The join is an equi hash join per band —
+    shuffle on the band key, never all-pairs. Oversized buckets (> 100
+    docs) are dropped before pairing: a bucket that large means the band
+    carries no discriminating power (pairing it is quadratic noise), the
+    standard skew guard for LSH dedup at scale."""
+    bands = q_dedup_minhash(spark, sf_dir)
+    stacked = bands.selectExpr(
+        "doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, band_key)",
+    ).persist()  # self-joined below: persist so the minhash upstream runs once
+    sizes = (
+        stacked.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") <= 100)
+        .drop("bucket_n")
+    )
+    stacked = stacked.join(sizes, ["band_idx", "band_key"])
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs.groupBy().agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+
+
+_ORACLE_MINHASH_PAIRS = """
+WITH sh AS (
+  SELECT doc_id, md5(unnest(list_transform(range(1, greatest(len(text)-2, 1) + 1),
+                                           i -> substr(text, i, 3)))) AS h
+  FROM documents WHERE len(text) >= 3),
+sigs AS (
+  SELECT doc_id,
+         min(substr(h,  1, 8)) AS sig0, min(substr(h,  4, 8)) AS sig1,
+         min(substr(h,  7, 8)) AS sig2, min(substr(h, 10, 8)) AS sig3,
+         min(substr(h, 13, 8)) AS sig4, min(substr(h, 16, 8)) AS sig5,
+         min(substr(h, 19, 8)) AS sig6, min(substr(h, 22, 8)) AS sig7
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band_idx,
+         CASE band_idx WHEN 0 THEN md5(sig0 || sig1) WHEN 1 THEN md5(sig2 || sig3)
+                       WHEN 2 THEN md5(sig4 || sig5) ELSE md5(sig6 || sig7)
+         END AS band_key
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+kept AS (
+  SELECT doc_id, band_idx, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+    FROM bands)
+  WHERE bucket_n <= 100),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+SELECT count(*) AS n_candidate_pairs FROM pairs
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard similarity for LSH candidate pairs (verification stage
+    of near-dup dedup): |A ∩ B| / |A ∪ B| over distinct 3-gram shingles.
+    Computed relationally — explode shingles, count pair intersections via
+    a shingle-keyed join, no all-pairs blowup."""
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 3)
+    # restrict to a deterministic subset so the pair count stays bounded
+    d = _spread(spark, d.filter(F.col("doc_id") % 20 == 0))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, greatest(length(text)-2, 1)),"
+                       " i -> substring(text, i, 3))")
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return j
+
+
+_ORACLE_NGRAM_JACCARD = """
+WITH d AS (SELECT * FROM documents WHERE len(text) >= 3 AND doc_id % 20 = 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1) + 1),
+                                         i -> substr(text, i, 3))) AS shingle
+    FROM d)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash-64 over whitespace tokens, fully JVM-native: per-token
+    xxhash64, per-bit +/-1 vote, sign -> bit. No oracle (xxhash64 is
+    Spark-specific); rows-only check + dedicated unit test."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    v = h.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(
+            F.col(f"v{b}") > 0,
+            F.lit(int(2 ** b if b < 63 else -(2 ** 63))).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    expr = bit_terms[0]
+    for t in bit_terms[1:]:
+        expr = expr + t
+    return v.select("doc_id", expr.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-ratio language heuristic."""
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    toks = F.split(F.col("text"), " ")
+    matches = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.expr(_STOP_SPARK), t))
+    )
+    ratio = F.round(matches / F.size(toks), 4)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        matches.alias("n_stopwords"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_guess"
+        ),
+    )
+
+
+_ORACLE_LANG = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '),
+                       t -> list_contains({_STOP_SQL}, t))) AS n_stopwords,
+       round(len(list_filter(string_split(text, ' '),
+                             t -> list_contains({_STOP_SQL}, t)))
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       CASE WHEN round(len(list_filter(string_split(text, ' '),
+                                       t -> list_contains({_STOP_SQL}, t)))
+                       / len(string_split(text, ' ')), 4) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM documents WHERE n_chars > 0
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Length/punctuation/stopword quality features + composite score."""
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: F.array_contains(F.expr(_STOP_SPARK), t)))
+    alnum = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    punct_ratio = F.round((F.length("text") - alnum) / F.length("text"), 4)
+    stop_ratio = F.round(stop / n_tokens, 4)
+    score = F.round(
+        stop_ratio * 0.4
+        + F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.2,
+        4,
+    )
+    return d.select(
+        "doc_id", n_tokens.alias("n_tokens"), punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"), score.alias("quality_score"),
+    )
+
+
+_ORACLE_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+               / len(text), 4) AS punct_ratio,
+         round(len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_STOP_SQL}, t)))
+               / len(string_split(text, ' ')), 4) AS stopword_ratio
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+       round(stopword_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - punct_ratio) * 0.2, 4) AS quality_score
+FROM f
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace tokens + BPE-ish regex token count."""
+    d = _docs(spark, sf_dir)
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " +"), lambda t: t != "")).alias(
+            "ws_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+_ORACLE_TOKENS = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, ' +'), t -> t <> ''))
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprint: 5-gram digests, min per 5-wide
+    rolling window, count distinct fingerprints per doc."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 5))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, greatest(length(text)-4, 1)),"
+                   " i -> md5(substring(text, i, 5)))")
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+    fp = grams.withColumn("fp", F.min("h").over(w))
+    return fp.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fingerprints")
+    )
+
+
+_ORACLE_WINNOW = """
+SELECT doc_id, count(DISTINCT fp) AS n_fingerprints
+FROM (SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
+      FROM (SELECT doc_id,
+                   generate_subscripts(list_transform(
+                     range(1, greatest(len(text)-4, 1) + 1),
+                     i -> md5(substr(text, i, 5))), 1) AS pos,
+                   unnest(list_transform(range(1, greatest(len(text)-4, 1) + 1),
+                                         i -> md5(substr(text, i, 5)))) AS h
+            FROM documents WHERE len(text) >= 5))
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _unit(col):
+    """L2-normalize an array<float> column (computed once per row, so the
+    per-pair cosine is a single dot product)."""
+    dbl = F.transform(col, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.transform(dbl, lambda x: x / norm)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (k=3) for 5 query vectors — the exact
+    baseline for ANN. Broadcast the tiny query side; score all candidates
+    map-side; per-query top-k via window."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _unit(F.col("embedding")).alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"), _unit(F.col("embedding")).alias("c_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid",
+            F.round(_dot(F.col("q_emb"), F.col("c_emb")), 6).alias("score6"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score6"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "cid", F.round(F.col("score6"), 4).alias("score"))
+    )
+
+
+_ORACLE_ANN = """
+WITH u AS (SELECT vec_id,
+                  list_transform(list_transform(embedding, x -> x::DOUBLE),
+                    x -> x / sqrt(list_sum(list_transform(embedding,
+                                    y -> y::DOUBLE * y::DOUBLE)))) AS unit
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, unit AS q_emb FROM u WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, unit AS c_emb FROM u),
+scored AS (
+  SELECT qid, cid,
+         round(list_sum(list_transform(range(1, len(q_emb) + 1),
+                                       i -> q_emb[i] * c_emb[i])), 6) AS score6
+  FROM q, c WHERE qid <> cid),
+ranked AS (
+  SELECT qid, cid, score6,
+         row_number() OVER (PARTITION BY qid ORDER BY score6 DESC, cid) AS rank
+  FROM scored)
+SELECT qid, rank, cid, round(score6, 4) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    blocked/bucketed scale path: join only within blocks, never all-pairs)."""
+    e = _emb(spark, sf_dir).select(
+        "label", "vec_id", _unit(F.col("embedding")).alias("unit")
+    )
+    a = e.select(F.col("label").alias("l"), F.col("vec_id").alias("va"),
+                 F.col("unit").alias("ea"))
+    b = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vb"),
+                 F.col("unit").alias("eb"))
+    pairs = (
+        a.join(b, "l")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "l", "va", "vb",
+            F.round(_dot(F.col("ea"), F.col("eb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+    return pairs.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs"),
+        F.max("cos").alias("max_cos"),
+    ).withColumnRenamed("l", "label")
+
+
+_ORACLE_NEARDUP = """
+WITH e AS (SELECT label, vec_id,
+                  list_transform(list_transform(embedding, x -> x::DOUBLE),
+                    x -> x / sqrt(list_sum(list_transform(embedding,
+                                    y -> y::DOUBLE * y::DOUBLE)))) AS emb
+           FROM embeddings),
+pairs AS (
+  SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+         round(list_sum(list_transform(range(1, len(a.emb) + 1),
+                                       i -> a.emb[i] * b.emb[i])), 4) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT label, count(*) AS n_neardup_pairs, max(cos) AS max_cos
+FROM pairs WHERE cos >= 0.35 GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the sanitize pipeline itself over spans derived from the driver
+# documents table. Structure (span counts, media refs, offsets) is
+# SQL-checkable; sanitized text is checked by the golden-replay tests.
+# ---------------------------------------------------------------------------
+
+_HTML_TEMPLATES = [
+    ("<p>", " &nbsp; <b>x</b></p>"),
+    ('<span style="font-weight: bold;">', "</span><p></p>"),
+    ("<h2>", "</h2><h2>tail</h2>"),
+    ("<li> - ", "<br/><br/></li>"),
+    ('<a href="javascript:alert(1)">', "</a>"),
+    ("<p>", "<script>evil()</script></p>"),
+]
+
+
+def spans_from_documents(spark, sf_dir):
+    """Wrap each driver document in deterministic HTML + media sentinels,
+    producing the interleaved (doc_id, spans) input shape."""
+    d = _spread(spark, _docs(spark, sf_dir))
+    pre, post = zip(*_HTML_TEMPLATES)
+    tmpl_idx = F.pmod(F.col("doc_id"), F.lit(len(_HTML_TEMPLATES))).cast("int")
+    html = F.concat(
+        F.element_at(F.array(*[F.lit(p) for p in pre]), tmpl_idx + 1),
+        F.col("text"),
+        F.element_at(F.array(*[F.lit(p) for p in post]), tmpl_idx + 1),
+    )
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), text.alias("text"),
+        ref.alias("media_ref"), F.lit(off).cast("int").alias("offset"),
+    )
+    sid = F.col("doc_id").cast("string")
+    return d.select(
+        sid.alias("doc_id"),
+        F.array(
+            span("image", F.lit(""), F.concat(F.lit("media://img/"), F.md5(sid)), 0),
+            span("text", html, F.lit(""), 1),
+            span("text", F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")), F.lit(""), 2),
+            span("audio", F.lit("cap"), F.concat(F.lit("media://aud/"), F.md5(sid)), 3),
+        ).alias("spans"),
+    )
+
+
+def q_sanitize_structure(spark, sf_dir):
+    """Pipeline structure invariants after a full explode->sanitize->
+    reassemble round trip: span count, kind sequence, media refs, offsets —
+    all oracle-checkable because sanitize never touches them."""
+    from .pipeline.job import sanitize_spans
+
+    out = sanitize_spans(spark, spans_from_documents(spark, sf_dir), salt_buckets=8)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.array_join(F.transform("spans", lambda s: s["kind"]), ",").alias("kinds"),
+        F.array_join(
+            F.filter(F.transform("spans", lambda s: s["media_ref"]),
+                     lambda r: r != ""),
+            ",",
+        ).alias("media_refs"),
+        F.array_join(
+            F.transform("spans", lambda s: s["offset"].cast("string")), ","
+        ).alias("offsets"),
+    )
+
+
+_ORACLE_STRUCTURE = """
+SELECT doc_id::VARCHAR AS doc_id,
+       4 AS n_spans,
+       'image,text,text,audio' AS kinds,
+       'media://img/' || md5(doc_id::VARCHAR) || ','
+         || 'media://aud/' || md5(doc_id::VARCHAR) AS media_refs,
+       '0,1,2,3' AS offsets
+FROM documents
+"""
+
+
+def q_sanitize_text(spark, sf_dir):
+    """Sanitized text spans (rows-only: DuckDB cannot run the tree engine;
+    text-level correctness is pinned by the 112-pair golden replay)."""
+    from .pipeline.job import sanitize_spans
+
+    out = sanitize_spans(spark, spans_from_documents(spark, sf_dir), salt_buckets=8)
+    return out.select(
+        "doc_id",
+        F.element_at(F.col("spans"), 2)["text"].alias("clean_html"),
+        F.element_at(F.col("spans"), 3)["text"].alias("clean_p"),
+    )
+
+
+flagship = q_sanitize_text
+
+
+REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
+    "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
+    "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
+    "whitespace_normalize": (q_whitespace_normalize, _ORACLE_WS),
+    "li_marker_strip": (q_li_marker_strip, _ORACLE_LI),
+    "post_regexes": (q_post_regexes, _ORACLE_POST),
+    "span_roundtrip": (q_span_roundtrip, _ORACLE_ROUNDTRIP),
+    "merge_segments": (q_merge_segments, _ORACLE_SEGMENTS),
+    "lineage_rollup": (q_lineage_rollup, _ORACLE_LINEAGE),
+    "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, _ORACLE_MINHASH),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, _ORACLE_MINHASH_PAIRS),
+    "ngram_jaccard": (q_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
+    "simhash64": (q_simhash, None),
+    "lang_id": (q_lang_id, _ORACLE_LANG),
+    "quality_score": (q_quality_score, _ORACLE_QUALITY),
+    "token_count": (q_token_count, _ORACLE_TOKENS),
+    "winnow_fingerprint": (q_winnow_fingerprint, _ORACLE_WINNOW),
+    "ann_cosine_topk": (q_ann_cosine_topk, _ORACLE_ANN),
+    "embedding_neardup": (q_embedding_neardup, _ORACLE_NEARDUP),
+    "sanitize_structure": (q_sanitize_structure, _ORACLE_STRUCTURE),
+    "sanitize_text": (q_sanitize_text, None),
+}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,152 @@
+"""Tests for the scale-path operators: LSH/IVF ANN recall vs brute force,
+multimodal plumbing, simhash properties, streaming incremental sanitize."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_sanitizer_spark.functions.multimodal import (
+    decode_media,
+    deterministic_fake_decoder,
+    extract_features,
+    media_from_spans,
+    strict_decoder,
+)
+from html_sanitizer_spark.functions.similarity import ann_lsh_topk, ivf_topk
+from html_sanitizer_spark.pipeline.synth import synth_spans_df
+from html_sanitizer_spark.queries import q_ann_cosine_topk, q_simhash
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _planted_corpus(spark):
+    """200 deterministic base vectors + 5 planted near-duplicates of vectors
+    0..4 (tiny perturbation). Near-dup retrieval is the workload LSH/IVF
+    exist for — uniform random points (all pairs nearly equidistant) are
+    their known adversarial case and say nothing about correctness."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    base = []
+    for vid in range(200):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        base.append(v)
+        rows.append((vid, [float(x) for x in v]))
+    for i in range(5):
+        pert = [x + rng.gauss(0, 0.02) for x in base[i]]
+        rows.append((1000 + i, [float(x) for x in pert]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestANN:
+    def test_lsh_finds_planted_neardups(self, spark):
+        corpus = _planted_corpus(spark).cache()
+        queries = corpus.filter(F.col("vec_id") >= 1000)
+        approx = ann_lsh_topk(corpus, queries, k=3, n_bits=10, multiprobe_bits=4)
+        got = {r["qid"]: r["cid"] for r in approx.filter("rank = 1").collect()}
+        hits = sum(1 for i in range(5) if got.get(1000 + i) == i)
+        assert hits >= 4, f"LSH planted-pair recall too low: {hits}/5 ({got})"
+        corpus.unpersist()
+
+    def test_ivf_finds_planted_neardups(self, spark):
+        corpus = _planted_corpus(spark).cache()
+        queries = corpus.filter(F.col("vec_id") >= 1000)
+        approx = ivf_topk(corpus, queries, k=3, n_cells=8, nprobe=3,
+                          sample_mod=23)
+        got = {r["qid"]: r["cid"] for r in approx.filter("rank = 1").collect()}
+        hits = sum(1 for i in range(5) if got.get(1000 + i) == i)
+        assert hits >= 4, f"IVF planted-pair recall too low: {hits}/5 ({got})"
+        corpus.unpersist()
+
+    def test_lsh_deterministic_and_runs_on_driver_table(self, spark, emb):
+        queries = emb.filter(F.col("vec_id") < 3)
+        a = ann_lsh_topk(emb, queries).collect()
+        b = ann_lsh_topk(emb, queries).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert all(r["rank"] <= 3 for r in a)
+
+
+class TestSimhash:
+    def test_similar_docs_close_hamming(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "the quick brown fox jumps over the lazy cat today"),
+                (3, "completely different words about database engines here"),
+            ],
+            ["doc_id", "text"],
+        )
+        df.createOrReplaceTempView("documents_sim")
+        import tempfile
+        tmp = tempfile.mkdtemp()
+        df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+          .withColumn("n_chars", F.length("text")).write.mode("overwrite") \
+          .parquet(f"{tmp}/documents.parquet")
+        rows = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, tmp).collect()}
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+        assert ham(rows[1], rows[2]) < ham(rows[2], rows[3])
+
+
+class TestMultimodal:
+    def test_plumbing_with_fake_decoder(self, spark):
+        docs = synth_spans_df(spark, 60, seed=13, mega_every=0)
+        media = media_from_spans(docs)
+        n_media = media.count()
+        assert n_media > 0
+        feats = decode_media(media, decoder=deterministic_fake_decoder)
+        rows = feats.collect()
+        assert len(rows) == n_media
+        assert all(len(r["feature"]) == 8 for r in rows)
+        assert all(r["width"] >= 64 for r in rows)
+        # deterministic: same payload -> same feature
+        again = decode_media(media, decoder=deterministic_fake_decoder).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_rollup(self, spark):
+        docs = synth_spans_df(spark, 60, seed=13, mega_every=0)
+        roll = extract_features(
+            media_from_spans(docs), decoder=deterministic_fake_decoder
+        ).collect()
+        kinds = {r["kind"] for r in roll}
+        assert kinds <= {"image", "video", "audio"} and kinds
+
+    def test_strict_decoder_raises(self):
+        with pytest.raises(NotImplementedError):
+            strict_decoder("image", b"\x89PNG")
+
+
+class TestStreaming:
+    def test_incremental_sanitize(self, spark, tmp_path):
+        from html_sanitizer_spark.streaming.stream_job import (
+            stream_sanitize_parquet_dir,
+        )
+
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        batch1 = synth_spans_df(spark, 40, seed=21, mega_every=0)
+        batch1.write.mode("append").parquet(in_dir)
+
+        q = stream_sanitize_parquet_dir(spark, in_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+        got1 = spark.read.parquet(out_dir).count()
+        assert got1 == 40
+
+        # second increment: only new files processed (checkpoint offset)
+        synth_spans_df(spark, 25, seed=22, mega_every=0).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q2 = stream_sanitize_parquet_dir(spark, in_dir, out_dir, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == 65
