@@ -66,6 +66,12 @@ _AUTO_CLOSE = {
 
 _ENTITY_RE = re.compile(r"&(?:#(?P<dec>[0-9]+)|#[xX](?P<hex>[0-9a-fA-F]+)|(?P<name>[a-zA-Z][a-zA-Z0-9]*));")
 
+# Control characters libxml2 refuses in text content (the reference filters
+# them per-element during its walk, sanitizer.py:115-119; filtering at
+# tokenize time additionally covers top-level text, which the walk never
+# visits — same result on every golden pair, strictly cleaner output).
+_CONTROL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+
 _NAME_START = re.compile(r"[a-zA-Z]")
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9._:-]*")
 _ATTR_NAME_RE = re.compile(r"[^\s=/>]+")
@@ -101,6 +107,8 @@ class _TreeBuilder:
         return self.stack[-1]
 
     def add_text(self, text: str) -> None:
+        if text and "\x7f" >= min(text):
+            text = _CONTROL_RE.sub("", text)
         if not text:
             return
         top = self._top()

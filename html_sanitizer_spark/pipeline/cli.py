@@ -1,0 +1,70 @@
+"""Distributed job driver, runnable directly or via spark-submit:
+
+    spark-submit --py-files engine.zip -m ...     (cluster)
+    python -m html_sanitizer_spark.pipeline.cli \
+        --input /data/spans --output /data/clean \
+        --config default --buckets 16 --salt 64 [--resume] [--nested]
+
+Reads a (doc_id, spans) parquet/Iceberg table, sanitizes text spans,
+writes sanitized docs + per-partition lineage + an atomic resume manifest.
+``scripts/build_pyfiles.py`` produces the --py-files zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from ..configs import settings_for
+from .checkpoint import run_checkpointed
+from .job import sanitize_spans
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="html-sanitizer-spark")
+    ap.add_argument("--input", required=True, help="parquet dir of (doc_id, spans)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--config", default="default")
+    ap.add_argument("--buckets", type=int, default=16,
+                    help="doc_id-hash checkpoint buckets (resume granularity)")
+    ap.add_argument("--salt", type=int, default=64,
+                    help="salt buckets for the sanitize-stage shuffle")
+    ap.add_argument("--nested", action="store_true",
+                    help="zero-reassembly-shuffle plan (no mega-doc skew)")
+    ap.add_argument("--no-checkpoint", action="store_true",
+                    help="single write, no manifest/resume")
+    ap.add_argument("--parallelism", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    settings = settings_for(args.config)  # fail fast on bad config
+
+    active = SparkSession.getActiveSession()
+    spark = active or get_spark("sanitize-job", parallelism=args.parallelism)
+    df = spark.read.parquet(args.input)
+
+    if args.no_checkpoint or args.nested:
+        out = sanitize_spans(
+            spark, df, settings=settings,
+            explode=not args.nested, salt_buckets=args.salt,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        done = "all (single write)"
+    else:
+        run = run_checkpointed(
+            spark, df, args.output, settings=settings,
+            n_buckets=args.buckets, salt_buckets=args.salt,
+        )
+        done = sorted(run.done)
+    print(json.dumps({"input": args.input, "output": args.output,
+                      "config": args.config, "buckets_done": done}))
+    if active is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
