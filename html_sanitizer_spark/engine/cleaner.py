@@ -50,34 +50,41 @@ def coarse_clean(root: Element, allowed_tags: frozenset | set) -> None:
     if "style" not in allowed_tags:
         kill.add("style")
 
-    doomed = [el for el in root.iterdescendants() if el.tag in kill]
+    # single traversal: collect kill/unwrap targets and neutralize
+    # javascript (Cleaner(javascript=True) analog: drop on* handler
+    # attributes, blank javascript: URLs) in one pass
+    doomed: list[Element] = []
+    unwrap: list[Element] = []
+    for el in root.descendants_list():
+        tag = el.tag
+        if tag in kill:
+            doomed.append(el)
+            continue
+        if tag in _UNWRAP_BASE:
+            unwrap.append(el)
+        attrib = el.attrib
+        if attrib:
+            for name in list(attrib):
+                if name.startswith("on"):
+                    del attrib[name]
+            for name in _URL_ATTRS:
+                val = attrib.get(name)
+                if val and _has_js_scheme(val):
+                    attrib[name] = ""
+
     for el in doomed:
         if el.getparent() is not None:
             el.drop_tree()
-
-    unwrap = [el for el in root.iterdescendants() if el.tag in _UNWRAP_BASE]
     for el in unwrap:
         if el.getparent() is not None:
             el.drop_tag()
-
-    # javascript neutralization (Cleaner(javascript=True) analog): drop
-    # event-handler attributes, blank javascript: URLs.
-    for el in root.iterdescendants():
-        attrib = el.attrib
-        for name in list(attrib):
-            if name.startswith("on"):
-                del attrib[name]
-        for name in _URL_ATTRS:
-            val = attrib.get(name)
-            if val and _has_js_scheme(val):
-                attrib[name] = ""
 
 
 def add_nofollow_links(root: Element) -> None:
     """Add rel="nofollow" to external links (Cleaner(add_nofollow=True);
     external = non-empty href whose first char is not '#'). Reference wiring:
     sanitizer.py:438; asserted by tests.py:189-199,229-240."""
-    for el in root.iterdescendants():
+    for el in root.descendants_list():
         if el.tag != "a":
             continue
         href = (el.get("href") or "").strip()
@@ -97,7 +104,7 @@ def strict_clean(root: Element, allowed_tags: frozenset | set) -> None:
     is not allowed, keeping text/children (sanitizer.py:434-440). The
     synthetic root is never dropped (lxml retags a disallowed root to <div>
     instead of dropping it)."""
-    doomed = [el for el in root.iterdescendants() if el.tag not in allowed_tags]
+    doomed = [el for el in root.descendants_list() if el.tag not in allowed_tags]
     for el in doomed:
         if el.getparent() is not None:
             el.drop_tag()

@@ -66,20 +66,21 @@ def _normalize_node_ws(el: Element, settings: Settings) -> None:
     """F3 + P5 on one node's text/tail (sanitizer.py:122-150). Control chars
     are always filtered; whitespace collapse runs to fixpoint and is skipped
     under keep_typographic_whitespace."""
-    if el.text:
-        el.text = filter_control_chars(el.text)
-    if el.tail:
-        el.tail = filter_control_chars(el.tail)
+    if el.text and _CONTROL_RE.search(el.text):
+        el.text = _CONTROL_RE.sub("", el.text)
+    if el.tail and _CONTROL_RE.search(el.tail):
+        el.tail = _CONTROL_RE.sub("", el.tail)
     if settings.keep_typographic_whitespace:
         return
+    dirty = settings.ws_dirty_re.search
     ws_re = settings.whitespace_re
-    if el.text:
+    if el.text and dirty(el.text):
         while True:
             collapsed = ws_re.sub(" ", el.text)
             if collapsed == el.text:
                 break
             el.text = collapsed
-    if el.tail:
+    if el.tail and dirty(el.tail):
         while True:
             collapsed = ws_re.sub(" ", el.tail)
             if collapsed == el.tail:
@@ -148,6 +149,54 @@ def sanitize(html: str, settings: Settings | str | None = None) -> str:
     return strip_wrapper_div(out)
 
 
+from . import processors as _procs
+
+_DEFAULT_PREPROCESSORS = (
+    _procs.bold_span_to_strong,
+    _procs.italic_span_to_em,
+    _procs.target_blank_noopener,
+    _procs.anchor_id_to_name,
+)
+
+
+def _fused_default_preprocess(el: Element) -> Element:
+    """Single-dispatch equivalent of the default preprocessor chain
+    (sanitizer.py:178-189): behavior-identical, one call per element
+    instead of seven."""
+    tag = el.tag
+    if tag == "span":
+        style = el.attrib.get("style", "")
+        if "bold" in style:
+            el.tag = "strong"
+        elif "italic" in style:
+            el.tag = "em"
+    elif tag == "b":
+        el.tag = "strong"
+    elif tag == "i":
+        el.tag = "em"
+    elif tag == "form":
+        el.tag = "p"
+    elif tag == "a":
+        _procs.target_blank_noopener(el)
+        _procs.anchor_id_to_name(el)
+    return el
+
+
+def _is_default_preprocessor_chain(procs: list) -> bool:
+    if len(procs) != 7:
+        return False
+    names = [getattr(f, "__name__", "") for f in procs]
+    return names == [
+        "bold_span_to_strong",
+        "italic_span_to_em",
+        "replace_b_with_strong",
+        "replace_i_with_em",
+        "replace_form_with_p",
+        "target_blank_noopener",
+        "anchor_id_to_name",
+    ] and procs[0] is _procs.bold_span_to_strong
+
+
 def _fixpoint_walk(doc: Element, settings: Settings) -> None:
     """Reverse-document-order worklist over all descendants, with re-enqueue
     after merges/strips so transitive effects converge (the reference's
@@ -161,13 +210,19 @@ def _fixpoint_walk(doc: Element, settings: Settings) -> None:
     """
     only_ws = settings.only_whitespace_re
     mergeable_tags = settings.tags - settings.separate
-    stack: list[Element] = list(doc.iterdescendants())
+    stack: list[Element] = doc.descendants_list()
+
+    preprocessors = settings.element_preprocessors
+    fused_default = _is_default_preprocessor_chain(preprocessors)
 
     while stack:
         el = stack.pop()
 
-        for proc in settings.element_preprocessors:
-            el = proc(el)
+        if fused_default:
+            el = _fused_default_preprocess(el)
+        else:
+            for proc in preprocessors:
+                el = proc(el)
 
         _normalize_node_ws(el, settings)
 

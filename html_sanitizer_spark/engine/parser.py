@@ -107,7 +107,7 @@ class _TreeBuilder:
         return self.stack[-1]
 
     def add_text(self, text: str) -> None:
-        if text and "\x7f" >= min(text):
+        if text and _CONTROL_RE.search(text):
             text = _CONTROL_RE.sub("", text)
         if not text:
             return

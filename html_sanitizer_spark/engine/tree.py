@@ -74,11 +74,24 @@ class Element:
     def iterdescendants(self) -> Iterator["Element"]:
         """Preorder (document order) walk, self excluded — the traversal the
         sanitizer snapshots into its work deque (sanitizer.py:303)."""
+        return iter(self.descendants_list())
+
+    def descendants_list(self) -> list["Element"]:
+        """Preorder descendants as a list (the hot-path form: the walk and
+        cleaner passes snapshot the whole traversal anyway, and a plain
+        loop beats generator resumption per node)."""
+        out: list[Element] = []
         stack = list(reversed(self._children))
+        pop = stack.pop
+        append = out.append
+        extend = stack.extend
         while stack:
-            node = stack.pop()
-            yield node
-            stack.extend(reversed(node._children))
+            node = pop()
+            append(node)
+            kids = node._children
+            if kids:
+                extend(reversed(kids))
+        return out
 
     def findall(self, tag: str) -> list["Element"]:
         """Direct children with the given tag (the only path form the

@@ -38,14 +38,44 @@ SPAN_TYPE = T.StructType(
 SPANS_TYPE = T.ArrayType(SPAN_TYPE)
 
 
-def make_sanitize_udf(settings=None):
+def make_sanitize_udf(settings=None, memoize: int = 0):
     """Scalar pandas UDF: sanitize a batch of HTML fragments.
 
     ``settings`` may be a Settings instance or a registered config name;
     it is captured in the closure and shipped once per executor (the
     broadcast-by-closure pattern, SURVEY.md §1.2).
+
+    ``memoize``: when > 0, keep a per-worker bounded memo of
+    input-fragment -> output. Real web corpora repeat boilerplate spans
+    (nav bars, footers, templates) at enormous rates, and ``sanitize`` is a
+    pure function, so this is a deterministic cache, not an approximation.
+    Off by default so benchmarks measure the engine, not the corpus's
+    redundancy.
     """
     settings_obj = settings_for(settings)
+
+    if memoize > 0:
+        cache_size = memoize
+
+        @F.pandas_udf(T.StringType())
+        def sanitize_batch_memo(texts: pd.Series) -> pd.Series:
+            cache = _worker_memo.setdefault(id_key, {})
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                hit = cache.get(t)
+                if hit is None:
+                    hit = sanitize(t, settings_obj)
+                    if len(cache) >= cache_size:
+                        cache.clear()  # cheap wholesale eviction
+                    cache[t] = hit
+                out.append(hit)
+            return pd.Series(out, dtype="object")
+
+        id_key = id(settings_obj)
+        return sanitize_batch_memo
 
     @F.pandas_udf(T.StringType())
     def sanitize_batch(texts: pd.Series) -> pd.Series:
@@ -56,6 +86,10 @@ def make_sanitize_udf(settings=None):
         return pd.Series(out, dtype="object")
 
     return sanitize_batch
+
+
+# per-python-worker memo store, keyed by settings identity
+_worker_memo: dict = {}
 
 
 def make_span_array_udf(settings=None):

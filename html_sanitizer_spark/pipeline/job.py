@@ -45,7 +45,8 @@ def explode_spans(df: DataFrame) -> DataFrame:
 
 
 def sanitize_exploded(
-    exploded: DataFrame, settings=None, salt_buckets: int | None = None
+    exploded: DataFrame, settings=None, salt_buckets: int | None = None,
+    memoize: int = 0,
 ) -> DataFrame:
     """Apply the sanitize UDF to text-kind spans of an exploded frame.
 
@@ -54,7 +55,7 @@ def sanitize_exploded(
     Python — the skew defusal the north_rule requires. The span's own row
     carries ``pos``, so order needs no co-location.
     """
-    udf = make_sanitize_udf(settings)
+    udf = make_sanitize_udf(settings, memoize=memoize)
     if salt_buckets:
         exploded = exploded.repartition(
             salt_buckets, F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt_buckets))
@@ -129,12 +130,17 @@ def sanitize_spans(
     explode: bool = True,
     salt_buckets: int | None = 32,
     two_phase: bool = True,
+    memoize: int = 0,
 ) -> DataFrame:
-    """End-to-end: sanitize every text-kind span of (doc_id, spans)."""
+    """End-to-end: sanitize every text-kind span of (doc_id, spans).
+
+    ``memoize``: per-worker output cache size for boilerplate-heavy
+    corpora (see make_sanitize_udf)."""
     if not explode:
         udf = make_span_array_udf(settings)
         return df.select("doc_id", udf("spans").alias("spans"))
-    clean = sanitize_exploded(explode_spans(df), settings, salt_buckets)
+    clean = sanitize_exploded(explode_spans(df), settings, salt_buckets,
+                              memoize=memoize)
     return reassemble_spans(clean, two_phase=two_phase)
 
 
