@@ -18,10 +18,12 @@ import sys
 
 from pyspark.sql import SparkSession
 
-from ..configs import settings_for
-from .checkpoint import run_checkpointed
-from .job import sanitize_spans
-from .session import get_spark
+# absolute imports: spark-submit executes this file as a top-level script
+# with the --py-files zip on PYTHONPATH (also works under python -m)
+from html_sanitizer_spark.configs import settings_for
+from html_sanitizer_spark.pipeline.checkpoint import run_checkpointed
+from html_sanitizer_spark.pipeline.job import sanitize_spans
+from html_sanitizer_spark.pipeline.session import get_spark
 
 
 def main(argv: list[str] | None = None) -> int:
