@@ -121,15 +121,25 @@ def run_checkpointed(
     n_buckets: int = 8,
     salt_buckets: int = 32,
     fail_after_bucket: int | None = None,
+    table_format: str = "dirs",
 ) -> CheckpointedRun:
     """Sanitize ``df`` into ``out_dir`` bucket-by-bucket with resume.
 
+    ``table_format``: "dirs" writes one overwritable parquet dir per bucket;
+    "iceberg-lite" appends each bucket as a snapshot of an
+    :class:`IcebergLiteTable` (production: a real Iceberg append), keeping
+    the resume manifest as the source of truth for which buckets committed.
     ``fail_after_bucket`` is a test hook: raise after committing that many
     buckets to simulate a mid-run crash.
     """
     settings_obj = settings_for(settings)
     fp = _config_fingerprint(settings_obj)
     run = CheckpointedRun.load_or_create(out_dir, n_buckets, fp)
+    table = None
+    if table_format == "iceberg-lite":
+        from .iceberg_lite import IcebergLiteTable
+
+        table = IcebergLiteTable(os.path.join(out_dir, "table"))
 
     bucketed = df.withColumn(
         "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
@@ -140,9 +150,21 @@ def run_checkpointed(
         clean = sanitize_exploded(explode_spans(part), settings_obj, salt_buckets)
         clean = clean.persist()
         result = reassemble_spans(clean, two_phase=True)
-        result.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"bucket={bucket}")
-        )
+        if table is not None:
+            # idempotence on crash-between-commit-points: if a prior attempt
+            # already snapshotted this bucket (table commit landed, resume
+            # manifest didn't), skip the append rather than duplicating rows
+            already = any(
+                s.get("summary", {}).get("bucket") == bucket
+                and s.get("summary", {}).get("config") == fp
+                for s in table.snapshots()
+            )
+            if not already:
+                table.append(result, summary={"bucket": bucket, "config": fp})
+        else:
+            result.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"bucket={bucket}")
+            )
         lineage_metrics(clean).withColumn("bucket", F.lit(bucket)).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "_lineage", f"bucket={bucket}"))
@@ -153,5 +175,11 @@ def run_checkpointed(
     return run
 
 
-def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_checkpointed(
+    spark: SparkSession, out_dir: str, table_format: str = "dirs"
+) -> DataFrame:
+    if table_format == "iceberg-lite":
+        from .iceberg_lite import IcebergLiteTable
+
+        return IcebergLiteTable(os.path.join(out_dir, "table")).read(spark)
     return spark.read.parquet(os.path.join(out_dir, "bucket=*"))

@@ -841,6 +841,103 @@ def q_sanitize_text(spark, sf_dir):
 flagship = q_sanitize_text
 
 
+def q_training_pipeline(spark, sf_dir):
+    """Composite training-data pipeline: quality filter -> exact dedup ->
+    sanitize -> reassembled output counts. Sanitize changes no row counts,
+    so the stage counts are fully oracle-checkable."""
+    from .pipeline.job import sanitize_spans
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    quality = d.filter(
+        (F.col("n_chars") >= 50)
+        & (F.size(F.filter(toks, lambda t: F.array_contains(F.expr(_STOP_SPARK), t)))
+           / F.size(toks) >= 0.02)
+    )
+    deduped = (
+        quality.withColumn("text_hash", F.md5("text"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("text_hash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "text_hash")
+    )
+    spans = deduped.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = sanitize_spans(spark, spans, salt_buckets=8)
+    return (
+        out.select(
+            F.count(F.lit(1)).alias("n_clean_docs"),
+            F.sum(F.size("spans")).alias("n_clean_spans"),
+        )
+        .crossJoin(d.select(F.count(F.lit(1)).alias("n_input")))
+        .crossJoin(quality.select(F.count(F.lit(1)).alias("n_after_quality")))
+        .select("n_input", "n_after_quality", "n_clean_docs", "n_clean_spans")
+    )
+
+
+_ORACLE_TRAINING = f"""
+WITH q AS (
+  SELECT * FROM documents
+  WHERE n_chars >= 50
+    AND len(list_filter(string_split(text, ' '),
+                        t -> list_contains({_STOP_SQL}, t)))
+        / len(string_split(text, ' ')) >= 0.02),
+d AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+    FROM q) WHERE rn = 1)
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM q) AS n_after_quality,
+       (SELECT count(*) FROM d) AS n_clean_docs,
+       (SELECT count(*) FROM d)::BIGINT AS n_clean_spans
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Scale-path ANN (sign-LSH multiprobe); rows-only — the hash family is
+    engine-specific, recall asserted by planted-near-dup tests."""
+    from .functions.similarity import ann_lsh_topk
+
+    e = _emb(spark, sf_dir)
+    return ann_lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """Scale-path ANN (IVF cells); rows-only."""
+    from .functions.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_multimodal_rollup(spark, sf_dir):
+    """Multimodal decode plumbing over media spans derived from the driver
+    documents (deterministic fake decoder; rows-only)."""
+    from .functions.multimodal import (
+        deterministic_fake_decoder,
+        extract_features,
+        media_from_spans,
+    )
+
+    return extract_features(
+        media_from_spans(spans_from_documents(spark, sf_dir)),
+        decoder=deterministic_fake_decoder,
+    )
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -863,6 +960,10 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "embedding_neardup": (q_embedding_neardup, _ORACLE_NEARDUP),
     "sanitize_structure": (q_sanitize_structure, _ORACLE_STRUCTURE),
     "sanitize_text": (q_sanitize_text, None),
+    "training_pipeline": (q_training_pipeline, _ORACLE_TRAINING),
+    "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_ivf_topk": (q_ann_ivf, None),
+    "multimodal_rollup": (q_multimodal_rollup, None),
 }
 
 
