@@ -128,14 +128,20 @@ def sanitize_spans(
     df: DataFrame,
     settings=None,
     explode: bool = True,
-    salt_buckets: int | None = 32,
+    salt_buckets: int | str | None = "auto",
     two_phase: bool = True,
     memoize: int = 0,
 ) -> DataFrame:
     """End-to-end: sanitize every text-kind span of (doc_id, spans).
 
+    ``salt_buckets="auto"`` sizes the salted shuffle to 4x the cluster's
+    default parallelism — enough granularity that AQE can rebalance and a
+    mega-document never owns a task, without drowning small jobs in tiny
+    tasks. Pass an int to pin it, or None to skip salting entirely.
     ``memoize``: per-worker output cache size for boilerplate-heavy
     corpora (see make_sanitize_udf)."""
+    if salt_buckets == "auto":
+        salt_buckets = spark.sparkContext.defaultParallelism * 4
     if not explode:
         udf = make_span_array_udf(settings)
         return df.select("doc_id", udf("spans").alias("spans"))

@@ -51,6 +51,22 @@ def test_typographic_mode_never_crashes(html):
         assert m.group(1).lower() in s.tags
 
 
+@given(_HTMLISH)
+@hsettings(max_examples=150, deadline=None)
+def test_parse_serialize_roundtrip_stable(html):
+    """Sanitized output must round-trip our own parser/serializer exactly
+    (when free of '&', whose re-decoding is inherently lossy): the output
+    is well-formed by construction."""
+    from html_sanitizer_spark.engine.parser import parse_fragment
+    from html_sanitizer_spark.engine.serializer import serialize_children
+
+    out = sanitize(html, _SETTINGS)
+    if "&" in out:
+        return
+    again = serialize_children(parse_fragment(out))
+    assert again == out, (html, out, again)
+
+
 @given(st.lists(st.sampled_from(
     ["<p>", "</p>", "<li>", "</li>", "<strong>", "</strong>", "<br>",
      "<hr>", "text ", "&amp;", "<h2>", "</h2>", "<a href='/x'>", "</a>"]),
