@@ -19,7 +19,6 @@ adds the sub-linear variants for 100TB-scale corpora:
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame

@@ -8,7 +8,7 @@ tests.py:560-566). Each case cites its source line.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -15,7 +15,7 @@ from html_sanitizer_spark.functions.multimodal import (
 )
 from html_sanitizer_spark.functions.similarity import ann_lsh_topk, ivf_topk
 from html_sanitizer_spark.pipeline.synth import synth_spans_df
-from html_sanitizer_spark.queries import q_ann_cosine_topk, q_simhash
+from html_sanitizer_spark.queries import q_simhash
 
 SF = "/root/testdata/sf0.001"
 

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
-
 from html_sanitizer_spark.pipeline.iceberg_lite import IcebergLiteTable
 from html_sanitizer_spark.pipeline.job import sanitize_spans
 from html_sanitizer_spark.pipeline.synth import synth_spans_df

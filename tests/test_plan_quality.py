@@ -5,7 +5,6 @@ whole-stage codegen on the JVM-side operators."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from html_sanitizer_spark.pipeline.job import explode_spans, sanitize_exploded

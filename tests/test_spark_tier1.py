@@ -16,7 +16,6 @@ from html_sanitizer_spark.engine.settings import Settings
 from html_sanitizer_spark.pipeline.job import (
     explode_spans,
     lineage_metrics,
-    reassemble_spans,
     sanitize_exploded,
     sanitize_spans,
 )
