@@ -912,7 +912,10 @@ def q_ann_lsh(spark, sf_dir):
     from .functions.similarity import ann_lsh_topk
 
     e = _emb(spark, sf_dir)
-    return ann_lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+    # bucket-count sized to the sf tables (2^6 buckets over 500-2000
+    # vectors); production corpora raise n_bits with corpus size
+    return ann_lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3,
+                        n_bits=6, multiprobe_bits=3)
 
 
 def q_ann_ivf(spark, sf_dir):
