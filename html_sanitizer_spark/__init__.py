@@ -17,3 +17,4 @@ __version__ = "0.1.0"
 
 from .engine.core import sanitize  # noqa: F401
 from .engine.settings import Settings, get_settings  # noqa: F401
+from .sanitizer_api import Sanitizer, get_sanitizer  # noqa: F401
