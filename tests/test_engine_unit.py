@@ -81,6 +81,37 @@ class TestIdempotence:
         assert twice == once
 
 
+class TestHooks:
+    """User extension points (SURVEY.md §2.10): postprocessors and custom
+    href policies, which the golden corpus never exercises."""
+
+    def test_element_postprocessors(self):
+        def shout_headings(el):
+            if el.tag == "h2" and el.text:
+                el.text = el.text.upper()
+            return el
+
+        s = Settings({"element_postprocessors": [shout_headings]})
+        assert sanitize("<h2>quiet</h2>", s) == "<h2>QUIET</h2>"
+
+    def test_custom_sanitize_href(self):
+        def only_https(href):
+            return href if href.startswith("https:") else "/blocked"
+
+        s = Settings({"sanitize_href": only_https})
+        assert sanitize('<a href="http://x">a</a>', s) == '<a href="/blocked">a</a>'
+        assert sanitize('<a href="https://x">a</a>', s) == '<a href="https://x">a</a>'
+
+    def test_custom_preprocessor_chain_not_fused(self):
+        def mark(el):
+            if el.tag == "p" and el.text:
+                el.text = "[" + el.text + "]"
+            return el
+
+        s = Settings({"element_preprocessors": [mark]})
+        assert sanitize("<p>x</p>", s) == "<p>[x]</p>"
+
+
 class TestParser:
     def test_literal_lt(self):
         root = parse_fragment("<div>a<>b</div>")
