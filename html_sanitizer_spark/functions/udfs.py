@@ -38,7 +38,7 @@ SPAN_TYPE = T.StructType(
 SPANS_TYPE = T.ArrayType(SPAN_TYPE)
 
 
-def make_sanitize_udf(settings=None, memoize: int = 0):
+def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
     """Scalar pandas UDF: sanitize a batch of HTML fragments.
 
     ``settings`` may be a Settings instance or a registered config name;
@@ -51,8 +51,35 @@ def make_sanitize_udf(settings=None, memoize: int = 0):
     pure function, so this is a deterministic cache, not an approximation.
     Off by default so benchmarks measure the engine, not the corpus's
     redundancy.
+
+    ``on_error``: poison-document policy for 100TB runs, where one
+    pathological fragment must not kill a 10^6-task job.
+      - "raise" (default): propagate — correctness runs want loud failures;
+      - "keep":  pass the offending fragment through unsanitized (flagged
+        by byte-identity downstream);
+      - "null":  null the text (drops the content, keeps the span slot).
     """
+    if on_error not in ("raise", "keep", "null"):
+        raise ValueError(f"on_error must be raise|keep|null, got {on_error!r}")
     settings_obj = settings_for(settings)
+
+    if on_error != "raise":
+        keep = on_error == "keep"
+
+        def _safe(t):
+            try:
+                return sanitize(t, settings_obj)
+            except Exception:
+                return t if keep else None
+
+        @F.pandas_udf(T.StringType())
+        def sanitize_batch_safe(texts: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_safe(t) if t is not None else None for t in texts],
+                dtype="object",
+            )
+
+        return sanitize_batch_safe
 
     if memoize > 0:
         cache_size = memoize

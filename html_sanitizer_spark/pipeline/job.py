@@ -46,7 +46,7 @@ def explode_spans(df: DataFrame) -> DataFrame:
 
 def sanitize_exploded(
     exploded: DataFrame, settings=None, salt_buckets: int | None = None,
-    memoize: int = 0,
+    memoize: int = 0, on_error: str = "raise",
 ) -> DataFrame:
     """Apply the sanitize UDF to text-kind spans of an exploded frame.
 
@@ -55,7 +55,7 @@ def sanitize_exploded(
     Python — the skew defusal the north_rule requires. The span's own row
     carries ``pos``, so order needs no co-location.
     """
-    udf = make_sanitize_udf(settings, memoize=memoize)
+    udf = make_sanitize_udf(settings, memoize=memoize, on_error=on_error)
     if salt_buckets:
         exploded = exploded.repartition(
             salt_buckets, F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt_buckets))
@@ -127,10 +127,11 @@ def sanitize_spans(
     spark: SparkSession,
     df: DataFrame,
     settings=None,
-    explode: bool = True,
+    explode: bool | str = True,
     salt_buckets: int | str | None = "auto",
     two_phase: bool = True,
     memoize: int = 0,
+    on_error: str = "raise",
 ) -> DataFrame:
     """End-to-end: sanitize every text-kind span of (doc_id, spans).
 
@@ -142,11 +143,19 @@ def sanitize_spans(
     corpora (see make_sanitize_udf)."""
     if salt_buckets == "auto":
         salt_buckets = spark.sparkContext.defaultParallelism * 4
+    if explode == "auto":
+        # pick the physical plan by measured skew: if any document's span
+        # count could monopolize a task, use the exploded+salted plan;
+        # otherwise the nested single-UDF plan (no reassembly shuffles) wins
+        max_spans = df.select(
+            F.max(F.size("spans")).alias("m")
+        ).collect()[0]["m"] or 0
+        explode = max_spans > 512
     if not explode:
         udf = make_span_array_udf(settings)
         return df.select("doc_id", udf("spans").alias("spans"))
     clean = sanitize_exploded(explode_spans(df), settings, salt_buckets,
-                              memoize=memoize)
+                              memoize=memoize, on_error=on_error)
     return reassemble_spans(clean, two_phase=two_phase)
 
 
