@@ -7,17 +7,28 @@ runs over plain parquet with an Iceberg-style JSON manifest we own:
 
     out_dir/
       _sanitize_manifest.json     # atomic (write-tmp + rename) commit record
+      _staging/bucket=<k>/...     # ONE-pass bucketed copy of the input
       bucket=<k>/part-*.parquet   # one dir per doc_id hash bucket
       _lineage/bucket=<k>/...     # per-partition lineage rows per bucket
 
 Protocol:
 - bucket(doc) = pmod(xxhash64(doc_id), n_buckets) — stable under retries.
+- The input is staged ONCE with ``partitionBy(bucket)`` (a single full
+  scan + hash-partitioned write); each per-bucket job then reads only its
+  own ``bucket=<k>`` directory — partition-pruned IO, never a rescan of
+  the whole input. A filter on a *computed* xxhash64 column cannot push
+  down, so without staging an n-bucket run is n full scans of a 100 TB
+  table. On a real lakehouse the staging pass is free: declare
+  ``bucket(n, doc_id)`` in the Iceberg partition spec and the per-bucket
+  reads prune on the table's own partition metadata.
 - A bucket is processed with overwrite semantics (re-running a
   half-written bucket is safe) and only then recorded in the manifest;
   the manifest rename is the commit point.
 - Resume = skip buckets already in the manifest (the left-anti-join of
   SURVEY.md §2.3 J3, done driver-side on bucket ids since the manifest is
-  tiny).
+  tiny). Staging carries its own commit marker (same atomic-rename
+  pattern) so a crash mid-staging restages while a crash mid-bucket
+  reuses the staged copy.
 - The manifest records a config fingerprint; resuming with a different
   config or bucket count refuses rather than mixing outputs.
 """
@@ -39,6 +50,36 @@ from .job import explode_spans, lineage_metrics, reassemble_spans, sanitize_expl
 __all__ = ["CheckpointedRun", "run_checkpointed"]
 
 MANIFEST_NAME = "_sanitize_manifest.json"
+STAGING_DIR = "_staging"
+STAGING_MARKER = "_staging_commit.json"
+
+
+def _stage_bucketed(df: DataFrame, out_dir: str, n_buckets: int,
+                    fingerprint: str) -> str:
+    """One-pass bucketed staging write (the Iceberg ``bucket(n, doc_id)``
+    partition-spec analog): every later per-bucket read prunes to its own
+    ``bucket=<k>`` directory instead of rescanning the input. Committed via
+    the same atomic tmp+rename marker pattern as the run manifest; a marker
+    with matching (n_buckets, fingerprint) means the staged copy is
+    complete and reusable across resume attempts."""
+    staging = os.path.join(out_dir, STAGING_DIR)
+    marker = os.path.join(staging, STAGING_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        if m["n_buckets"] == n_buckets and m["config_fingerprint"] == fingerprint:
+            return staging
+    (
+        df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    fd, tmp = tempfile.mkstemp(dir=staging, prefix="._staging")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"n_buckets": n_buckets, "config_fingerprint": fingerprint}, fh)
+    os.replace(tmp, marker)
+    return staging
 
 
 def _config_fingerprint(settings_obj) -> str:
@@ -141,12 +182,17 @@ def run_checkpointed(
 
         table = IcebergLiteTable(os.path.join(out_dir, "table"))
 
-    bucketed = df.withColumn(
-        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
-    )
     todo = [b for b in range(n_buckets) if b not in run.done]
+    staging = _stage_bucketed(df, out_dir, n_buckets, fp) if todo else None
     for k, bucket in enumerate(todo):
-        part = bucketed.filter(F.col("_bucket") == bucket).drop("_bucket")
+        bucket_path = os.path.join(staging, f"bucket={bucket}")
+        if os.path.exists(bucket_path):
+            # partition-pruned read: only this bucket's files are scanned
+            part = spark.read.schema(df.schema).parquet(bucket_path)
+        else:
+            # hash bucket received no rows — still emit an (empty) committed
+            # output dir so read_checkpointed's bucket=* glob stays uniform
+            part = spark.createDataFrame([], df.schema)
         clean = sanitize_exploded(explode_spans(part), settings_obj, salt_buckets)
         clean = clean.persist()
         result = reassemble_spans(clean, two_phase=True)
@@ -172,6 +218,12 @@ def run_checkpointed(
         run.commit_bucket(bucket)
         if fail_after_bucket is not None and k + 1 >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {bucket}")
+    if staging is not None and len(run.done) == n_buckets:
+        # every bucket committed: the staged copy is dead weight, drop it
+        # (an Iceberg bucket partition spec has no copy to drop)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     return run
 
 

@@ -63,6 +63,31 @@ def test_config_drift_refused(spark, tmp_path):
         run_checkpointed(spark, df, out, n_buckets=4)
 
 
+def test_staging_partition_pruned_io(spark, tmp_path):
+    """The 100TB property: the input is staged ONCE (bucketed write), and
+    each per-bucket job reads only its own bucket=<k> files — never a
+    rescan of the whole input (a filter on computed xxhash64 can't prune)."""
+    df = synth_spans_df(spark, 80, seed=7, mega_every=0)
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, df, out, n_buckets=4, fail_after_bucket=1)
+
+    staging = os.path.join(out, "_staging")
+    assert os.path.exists(os.path.join(staging, "_staging_commit.json"))
+    # staged copy holds the full input exactly once
+    assert spark.read.parquet(staging).count() == 80
+    # a per-bucket read touches only that bucket's files (partition-pruned)
+    part = spark.read.parquet(os.path.join(staging, "bucket=2"))
+    files = part.inputFiles()
+    assert files and all("bucket=2" in f for f in files), files
+
+    # resume reuses the staged copy, completes, and drops the staging dir
+    run = run_checkpointed(spark, df, out, n_buckets=4)
+    assert sorted(run.done) == [0, 1, 2, 3]
+    assert not os.path.exists(staging)
+    assert read_checkpointed(spark, out).count() == 80
+
+
 def test_lineage_written(spark, tmp_path):
     df = synth_spans_df(spark, 30, seed=4, mega_every=0)
     out = str(tmp_path / "out")
