@@ -9,13 +9,20 @@ simple and robust:
       -> foreachBatch(writer)  with option("checkpointLocation", ...)
 
 ``foreachBatch`` + checkpointLocation gives exactly-once-per-epoch output
-for idempotent writers (per-epoch overwrite), with no watermarks or state
-store needed — late data is irrelevant without event-time aggregation.
+only when the writer is idempotent, so each microbatch lands in its own
+``epoch=<id>`` directory with ``mode("overwrite")``: a crash between the
+parquet write and the checkpoint commit replays the epoch, which simply
+overwrites its own directory — no duplicate rows, no state store, no
+watermarks needed (late data is irrelevant without event-time aggregation).
 The batch and streaming paths share one implementation, so golden-replay
-correctness carries over verbatim.
+correctness carries over verbatim. Readers either take the whole output
+tree (partition discovery exposes ``epoch`` as a column) or use
+:func:`read_stream_output` to get the plain (doc_id, spans) shape back.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -23,7 +30,26 @@ from pyspark.sql.streaming import StreamingQuery
 from ..pipeline.job import sanitize_spans
 from ..pipeline.synth import DOC_SCHEMA
 
-__all__ = ["stream_sanitize_parquet_dir", "start_stream"]
+__all__ = [
+    "stream_sanitize_parquet_dir",
+    "start_stream",
+    "write_epoch",
+    "read_stream_output",
+]
+
+
+def write_epoch(out: DataFrame, output_dir: str, epoch_id: int) -> None:
+    """Idempotent epoch sink: a replayed microbatch overwrites exactly its
+    own ``epoch=<id>`` directory (the foreachBatch exactly-once contract;
+    production: Iceberg ``overwritePartitions`` on an epoch column)."""
+    out.write.mode("overwrite").parquet(
+        os.path.join(output_dir, f"epoch={epoch_id}")
+    )
+
+
+def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read the epoch-partitioned stream output as plain (doc_id, spans)."""
+    return spark.read.parquet(output_dir).drop("epoch")
 
 
 def stream_sanitize_parquet_dir(
@@ -36,7 +62,8 @@ def stream_sanitize_parquet_dir(
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for new parquet files of (doc_id, spans) docs and
-    append sanitized docs to ``output_dir``.
+    write sanitized docs to ``output_dir`` (one ``epoch=<id>`` dir per
+    microbatch; see :func:`write_epoch` for the idempotence contract).
 
     ``explode=False`` by default: per-microbatch volumes are small, so the
     nested single-UDF plan (no reassembly shuffle) is the right physical
@@ -52,7 +79,7 @@ def stream_sanitize_parquet_dir(
         out = sanitize_spans(
             batch_df.sparkSession, batch_df, settings=settings, explode=explode
         )
-        out.write.mode("append").parquet(output_dir)
+        write_epoch(out, output_dir, epoch_id)
 
     writer = (
         src.writeStream.foreachBatch(handle_batch)

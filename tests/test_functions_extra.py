@@ -150,3 +150,25 @@ class TestStreaming:
         q2 = stream_sanitize_parquet_dir(spark, in_dir, out_dir, ckpt)
         q2.awaitTermination(120)
         assert spark.read.parquet(out_dir).count() == 65
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """A crash between the epoch write and the checkpoint commit makes
+        Structured Streaming replay the microbatch — the epoch-keyed
+        overwrite sink must absorb the replay without duplicating rows."""
+        from html_sanitizer_spark.streaming.stream_job import (
+            read_stream_output,
+            write_epoch,
+        )
+
+        out_dir = str(tmp_path / "out")
+        batch = synth_spans_df(spark, 30, seed=31, mega_every=0)
+        write_epoch(batch, out_dir, epoch_id=0)
+        write_epoch(batch, out_dir, epoch_id=0)  # simulated replay
+        got = read_stream_output(spark, out_dir)
+        assert got.count() == 30
+        assert got.select("doc_id").distinct().count() == 30
+        assert got.columns == ["doc_id", "spans"]
+        # a genuinely new epoch still lands alongside
+        write_epoch(synth_spans_df(spark, 5, seed=32, mega_every=0),
+                    out_dir, epoch_id=1)
+        assert read_stream_output(spark, out_dir).count() == 35
