@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["lsh_bucket", "ann_lsh_topk", "ivf_topk", "unit_vec"]
+__all__ = ["lsh_bucket", "ann_lsh_topk", "ivf_topk", "ivf_centroids", "unit_vec"]
 
 
 def unit_vec(col):
@@ -101,6 +101,38 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(emb: DataFrame, n_cells: int = 16, sample_mod: int = 97):
+    """Deterministic coarse centroids (every ``sample_mod``-th vector,
+    capped at ``n_cells``), collected to the driver — the k-means-centroid
+    pattern: the set is tiny by construction, and shipping it as literal
+    arrays lets assignment run as a map-side expression."""
+    return (
+        emb.filter(F.col("vec_id") % sample_mod == 0)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"),
+                unit_vec(F.col("embedding")).alias("cent"))
+        .collect()
+    )
+
+
+def _cell_sims(vec_col, cents):
+    """array<struct<sim, neg_cell>> of similarities to every centroid
+    literal. ``neg_cell`` makes struct-ordering break sim ties toward the
+    SMALLEST cell_id (array_max / descending sort both pick max neg_cell).
+    Sims are rounded so the argmax is reproducible across engines."""
+    return F.array(*[
+        F.struct(
+            F.round(
+                _dot(vec_col, F.array(*[F.lit(float(v)) for v in row["cent"]])),
+                9,
+            ).alias("sim"),
+            F.lit(-row["cell_id"]).cast("long").alias("neg_cell"),
+        )
+        for row in cents
+    ])
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -109,38 +141,33 @@ def ivf_topk(
     nprobe: int = 2,
     sample_mod: int = 97,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic coarse centroids (every ``sample_mod``-th
-    vector, capped at n_cells), assign corpus to nearest centroid
-    (broadcast), probe the ``nprobe`` nearest cells per query."""
-    cents = (
-        emb.filter(F.col("vec_id") % sample_mod == 0)
-        .orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cell_id"),
-                unit_vec(F.col("embedding")).alias("cent"))
-    )
+    """IVF-style ANN: corpus rows are assigned to their nearest centroid by
+    a map-side ``array_max`` over centroid literals (zero shuffle — the
+    crossJoin+window argmax it replaces shuffled corpus x n_cells rows);
+    queries probe their ``nprobe`` nearest cells the same way; the only
+    joins are the broadcast candidate equi-join on cell_id and the final
+    per-query top-k window."""
+    cents = ivf_centroids(emb, n_cells, sample_mod)
     c = emb.select(F.col("vec_id").alias("cid"),
                    unit_vec(F.col("embedding")).alias("c_emb"))
-    # assign each vector to its nearest centroid via broadcast + window
-    assign_scored = c.crossJoin(F.broadcast(cents)).select(
-        "cid", "c_emb", "cell_id", _dot(F.col("c_emb"), F.col("cent")).alias("sim")
-    )
-    w_assign = Window.partitionBy("cid").orderBy(F.desc("sim"), F.asc("cell_id"))
-    assigned = (
-        assign_scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("cid", "c_emb", "cell_id")
+    assigned = c.withColumn(
+        "cell_id", -F.array_max(_cell_sims(F.col("c_emb"), cents))["neg_cell"]
     )
     q = queries.select(F.col("vec_id").alias("qid"),
                        unit_vec(F.col("embedding")).alias("q_emb"))
-    q_cells = q.crossJoin(F.broadcast(cents)).select(
-        "qid", "q_emb", "cell_id", _dot(F.col("q_emb"), F.col("cent")).alias("sim")
-    )
-    w_q = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell_id"))
-    probed = (
-        q_cells.withColumn("rn", F.row_number().over(w_q))
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "q_emb", "cell_id")
+    probed = q.select(
+        "qid",
+        "q_emb",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_sims(F.col("q_emb"), cents))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: -s["neg_cell"],
+            )
+        ).alias("cell_id"),
     )
     cand = F.broadcast(probed).join(assigned, "cell_id").filter(
         F.col("qid") != F.col("cid")

@@ -87,6 +87,24 @@ def test_wholestage_codegen_on_jvm_operators(spark):
     assert "Found 0" not in s
 
 
+def test_ivf_assignment_is_map_side(spark):
+    """IVF nearest-centroid assignment must be a map-side array_max over
+    centroid literals — no per-row window, no corpus x n_cells shuffle
+    (VERDICT r01 'What's wrong' #3). Only the final per-QUERY top-k may
+    use a window."""
+    from html_sanitizer_spark.queries import q_ann_ivf
+
+    plan = _plan(q_ann_ivf(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    window_lines = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith(("Window [", "+- Window ["))
+        or "- Window [" in ln
+    ]
+    assert len(window_lines) == 1, window_lines
+    assert "qid" in window_lines[0]  # the final top-k, keyed by query
+
+
 def test_anti_join_resume_shape(spark):
     """J3: resume as a left-anti join against the committed-manifest set."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
