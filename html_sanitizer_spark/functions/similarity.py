@@ -97,7 +97,7 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "rank", "cid", "score")
+        .select("qid", "rank", "cid", F.round(F.col("score"), 4).alias("score"))
     )
 
 
@@ -179,5 +179,5 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "rank", "cid", "score")
+        .select("qid", "rank", "cid", F.round(F.col("score"), 4).alias("score"))
     )

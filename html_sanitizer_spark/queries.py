@@ -414,7 +414,13 @@ def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard similarity for LSH candidate pairs (verification stage
     of near-dup dedup): |A ∩ B| / |A ∪ B| over distinct 3-gram shingles.
     Computed relationally — explode shingles, count pair intersections via
-    a shingle-keyed join, no all-pairs blowup."""
+    a shingle-keyed join, no all-pairs blowup. Hot-shingle guard: shingles
+    appearing in > 100 documents are dropped BEFORE the self-join (the
+    same skew cap as the LSH bucket guard at q_dedup_minhash_pairs) — a
+    common trigram present in millions of docs makes the join per-key
+    quadratic while carrying no similarity signal; per-doc sizes are
+    computed over the same capped shingle set so the Jaccard stays
+    internally consistent."""
     d = _docs(spark, sf_dir).filter(F.length("text") >= 3)
     # restrict to a deterministic subset so the pair count stays bounded
     d = _spread(spark, d.filter(F.col("doc_id") % 20 == 0))
@@ -427,6 +433,13 @@ def q_ngram_jaccard(spark, sf_dir):
             )
         ).alias("shingle"),
     )
+    discriminating = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_n"))
+        .filter(F.col("df_n") <= 100)
+        .drop("df_n")
+    )
+    sh = sh.join(discriminating, "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -455,11 +468,15 @@ def q_ngram_jaccard(spark, sf_dir):
 
 _ORACLE_NGRAM_JACCARD = """
 WITH d AS (SELECT * FROM documents WHERE len(text) >= 3 AND doc_id % 20 = 0),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1) + 1),
                                          i -> substr(text, i, 3))) AS shingle
     FROM d)),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT *, count(*) OVER (PARTITION BY shingle) AS df_n FROM sh_all)
+  WHERE df_n <= 100),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -475,22 +492,31 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash-64 over whitespace tokens, fully JVM-native: per-token
-    xxhash64, per-bit +/-1 vote, sign -> bit. No oracle (xxhash64 is
-    Spark-specific); rows-only check + dedicated unit test."""
-    d = _docs(spark, sf_dir)
+    """SimHash-64 over whitespace tokens, fully JVM-native: per-token md5,
+    bit b read from hex nibble b//4 of the digest, per-bit +/-1 vote,
+    sign -> bit. The md5 basis (vs Spark's xxhash64) makes the sketch
+    portable, so it is fully DuckDB-oracled (VERDICT r01 next-round #5)."""
+    d = _spread(spark, _docs(spark, sf_dir))
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok")
     ).filter(F.col("tok") != "")
-    h = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = tok.select("doc_id", F.md5("tok").alias("h"))
+    # bit b of the 64-bit hash = bit (b % 4) of hex nibble (b // 4)
+    nibbles = [
+        F.conv(F.substring("h", n + 1, 1), 16, 10).cast("int").alias(f"n{n}")
+        for n in range(16)
+    ]
+    hn = h.select("doc_id", *nibbles)
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(64)
     ]
-    v = h.groupBy("doc_id").agg(*votes)
+    v = hn.groupBy("doc_id").agg(*votes)
     bit_terms = [
         F.when(
             F.col(f"v{b}") > 0,
@@ -502,6 +528,40 @@ def q_simhash(spark, sf_dir):
     for t in bit_terms[1:]:
         expr = expr + t
     return v.select("doc_id", expr.alias("simhash"))
+
+
+def _simhash_oracle_sql() -> str:
+    """Generated (deterministic) DuckDB twin of q_simhash."""
+    votes = ", ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        " >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}".format(
+            pos=b // 4 + 1, sh=b % 4, b=b
+        )
+        for b in range(64)
+    )
+    # INT64_MIN cannot be written as a literal (unary minus applies to an
+    # out-of-range positive), hence the -x-1 form for bit 63
+    bit_terms = " + ".join(
+        "(CASE WHEN v{b} > 0 THEN {val} ELSE 0 END)".format(
+            b=b,
+            val=(f"{2 ** b}::BIGINT" if b < 63
+                 else f"(-{2 ** 63 - 1}::BIGINT - 1)"),
+        )
+        for b in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS t
+        FROM documents)
+  WHERE t <> ''),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM v
+"""
+
+
+_ORACLE_SIMHASH = _simhash_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -907,8 +967,10 @@ SELECT (SELECT count(*) FROM documents) AS n_input,
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Scale-path ANN (sign-LSH multiprobe); rows-only — the hash family is
-    engine-specific, recall asserted by planted-near-dup tests."""
+    """Scale-path ANN (sign-LSH multiprobe). Fully oracled: the seeded
+    hyperplanes are deterministic driver-side constants, so the DuckDB twin
+    recomputes the same buckets from the same plane literals embedded in
+    the generated SQL (plus the recall property tests)."""
     from .functions.similarity import ann_lsh_topk
 
     e = _emb(spark, sf_dir)
@@ -919,11 +981,102 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """Scale-path ANN (IVF cells); rows-only."""
+    """Scale-path ANN (IVF cells). Fully oracled: centroids are a
+    deterministic sample, assignment/probe/score are plain float algebra a
+    SQL engine can replay (see _ivf_oracle_sql)."""
     from .functions.similarity import ivf_topk
 
     e = _emb(spark, sf_dir)
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
+
+
+_ORACLE_UNIT_CTE = """u AS (SELECT vec_id,
+                  list_transform(list_transform(embedding, x -> x::DOUBLE),
+                    x -> x / sqrt(list_sum(list_transform(embedding,
+                                    y -> y::DOUBLE * y::DOUBLE)))) AS unit
+           FROM embeddings)"""
+
+
+def _ivf_oracle_sql(k: int = 3, n_cells: int = 16, nprobe: int = 2,
+                    sample_mod: int = 97) -> str:
+    """DuckDB twin of ivf_topk: same deterministic centroid sample, same
+    9-decimal-rounded argmax assignment with ties toward the smallest
+    cell_id, same nprobe probing, same top-k ordering."""
+    dot_ac = _dot_sql("c.unit", "t.cent")
+    dot_qc = _dot_sql("p.q_emb", "a.c_emb")
+    return f"""
+WITH {_ORACLE_UNIT_CTE},
+cents AS (SELECT vec_id AS cell_id, unit AS cent FROM u
+          WHERE vec_id % {sample_mod} = 0 ORDER BY vec_id LIMIT {n_cells}),
+asim AS (SELECT c.vec_id AS cid, c.unit AS c_emb, t.cell_id,
+                round({dot_ac}, 9) AS sim
+         FROM u c, cents t),
+assigned AS (SELECT cid, c_emb, cell_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY cid
+                        ORDER BY sim DESC, cell_id) AS rn FROM asim)
+             WHERE rn = 1),
+qsim AS (SELECT c.vec_id AS qid, c.unit AS q_emb, t.cell_id,
+                round({dot_ac}, 9) AS sim
+         FROM u c, cents t WHERE c.vec_id < 5),
+probed AS (SELECT qid, q_emb, cell_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, cell_id) AS rn FROM qsim)
+           WHERE rn <= {nprobe}),
+cand AS (SELECT qid, cid, round({dot_qc}, 6) AS score6
+         FROM probed p JOIN assigned a USING (cell_id) WHERE qid <> cid),
+scored AS (SELECT qid, cid, max(score6) AS score6 FROM cand GROUP BY qid, cid),
+ranked AS (SELECT qid, cid, score6,
+                  row_number() OVER (PARTITION BY qid
+                           ORDER BY score6 DESC, cid) AS rank
+           FROM scored)
+SELECT qid, rank, cid, round(score6, 4) AS score FROM ranked WHERE rank <= {k}
+"""
+
+
+def _lsh_oracle_sql(k: int = 3, dim: int = 64, n_bits: int = 6,
+                    seed: int = 42, multiprobe_bits: int = 3) -> str:
+    """DuckDB twin of ann_lsh_topk: the seeded hyperplanes are embedded as
+    literal arrays, so bucket ids are recomputed from first principles."""
+    from .functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def bucket_expr(unit: str) -> str:
+        terms = []
+        for b, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            dot = (f"list_sum(list_transform(range(1, {dim + 1}),"
+                   f" i -> {unit}[i] * ({arr})[i]))")
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    probes = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << b})" for b in range(multiprobe_bits)]
+    )
+    dot_qc = _dot_sql("p.q_emb", "c.unit", dim)
+    return f"""
+WITH {_ORACLE_UNIT_CTE},
+b AS (SELECT vec_id, unit, {bucket_expr("unit")} AS bucket FROM u),
+q AS (SELECT vec_id AS qid, unit AS q_emb, bucket AS qb FROM b
+      WHERE vec_id < 5),
+probes AS (SELECT qid, q_emb, unnest([{probes}]) AS bucket FROM q),
+cand AS (SELECT qid, c.vec_id AS cid, round({dot_qc}, 6) AS score6
+         FROM probes p JOIN b c USING (bucket) WHERE qid <> c.vec_id),
+scored AS (SELECT qid, cid, max(score6) AS score6 FROM cand GROUP BY qid, cid),
+ranked AS (SELECT qid, cid, score6,
+                  row_number() OVER (PARTITION BY qid
+                           ORDER BY score6 DESC, cid) AS rank
+           FROM scored)
+SELECT qid, rank, cid, round(score6, 4) AS score FROM ranked WHERE rank <= {k}
+"""
+
+
+_ORACLE_ANN_IVF = _ivf_oracle_sql()
+_ORACLE_ANN_LSH = _lsh_oracle_sql()
 
 
 def q_multimodal_rollup(spark, sf_dir):
@@ -954,7 +1107,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "dedup_minhash": (q_dedup_minhash, _ORACLE_MINHASH),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, _ORACLE_MINHASH_PAIRS),
     "ngram_jaccard": (q_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
-    "simhash64": (q_simhash, None),
+    "simhash64": (q_simhash, _ORACLE_SIMHASH),
     "lang_id": (q_lang_id, _ORACLE_LANG),
     "quality_score": (q_quality_score, _ORACLE_QUALITY),
     "token_count": (q_token_count, _ORACLE_TOKENS),
@@ -964,8 +1117,8 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "sanitize_structure": (q_sanitize_structure, _ORACLE_STRUCTURE),
     "sanitize_text": (q_sanitize_text, None),
     "training_pipeline": (q_training_pipeline, _ORACLE_TRAINING),
-    "ann_lsh_topk": (q_ann_lsh, None),
-    "ann_ivf_topk": (q_ann_ivf, None),
+    "ann_lsh_topk": (q_ann_lsh, _ORACLE_ANN_LSH),
+    "ann_ivf_topk": (q_ann_ivf, _ORACLE_ANN_IVF),
     "multimodal_rollup": (q_multimodal_rollup, None),
 }
 
