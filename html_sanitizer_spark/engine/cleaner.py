@@ -26,17 +26,29 @@ _KILL_BASE = frozenset(
 # page_structure + embedded under the same flags).
 _UNWRAP_BASE = frozenset("head html title embed object param layer".split())
 
-_JS_SCHEME_RE = re.compile(r"^[\s\x00-\x1f]*javascript\s*:", re.I)
 _URL_ATTRS = ("href", "src", "action", "formaction")
+
+# lxml Cleaner(javascript=True) scheme blacklist (_javascript_scheme_re):
+# javascript/jscript/livescript/vbscript/mocha/about plus data:, with
+# base64 data:image/* URLs allowed back (except script-capable image types
+# like svg). Matching runs on the unquote_plus'd, whitespace-flattened
+# value so "j a v a s c r i p t:" and %6A%61...%3A smuggling are caught.
+_MALICIOUS_SCHEMES = re.compile(
+    r"(?:javascript|jscript|livescript|vbscript|data|mocha|about):", re.I
+)
+_IMAGE_DATAURLS = re.compile(r"data:image/([a-z0-9.+-]+);base64,", re.I)
+_FLATTEN_WS = re.compile(r"[\s\x00-\x08\x0B\x0C\x0E-\x1f]+")
 
 
 def _has_js_scheme(value: str) -> bool:
     # Percent-encoded schemes count too (tests.py:92 javascript%3Aalert).
-    unquoted = urllib.parse.unquote(value)
-    flat = re.sub(r"[\s\x00-\x1f]+", "", unquoted)
-    return bool(re.match(r"(?i)^javascript:", flat)) or bool(
-        _JS_SCHEME_RE.match(unquoted)
-    )
+    flat = _FLATTEN_WS.sub("", urllib.parse.unquote_plus(value))
+    safe_images = 0
+    for image_type in _IMAGE_DATAURLS.findall(flat):
+        if "svg" in image_type.lower() or "script" in image_type.lower():
+            return True  # script-capable "image" payload
+        safe_images += 1
+    return len(_MALICIOUS_SCHEMES.findall(flat)) > safe_images
 
 
 def coarse_clean(root: Element, allowed_tags: frozenset | set) -> None:
@@ -134,8 +146,22 @@ _AVOID_HOSTS = [
 _AVOID_CLASSES = ("nolink",)
 
 
-def autolink(el: Element, avoid_hosts=None, avoid_elements=None, avoid_classes=None):
-    """Wrap bare URLs in text content with <a href> elements."""
+def autolink(el: Element, link_regexes=None, avoid_hosts=None,
+             avoid_elements=None, avoid_classes=None):
+    """Wrap bare URLs in text content with <a href> elements.
+
+    Accepts the full lxml.html.clean.autolink kwargs surface (the
+    reference forwards a settings dict verbatim, sanitizer.py:430-431):
+    ``link_regexes`` (patterns or strings with ``body`` and, for the
+    avoid_hosts check, ``host`` named groups), ``avoid_elements``,
+    ``avoid_hosts``, ``avoid_classes``.
+    """
+    if link_regexes is None:
+        link_regexes = _LINK_REGEXES
+    else:
+        link_regexes = [
+            re.compile(p) if isinstance(p, str) else p for p in link_regexes
+        ]
     if avoid_hosts is None:
         avoid_hosts = _AVOID_HOSTS
     else:
@@ -146,10 +172,10 @@ def autolink(el: Element, avoid_hosts=None, avoid_elements=None, avoid_classes=N
         avoid_elements = _AVOID_ELEMENTS
     if avoid_classes is None:
         avoid_classes = _AVOID_CLASSES
-    _autolink_walk(el, avoid_hosts, avoid_elements, avoid_classes)
+    _autolink_walk(el, link_regexes, avoid_hosts, avoid_elements, avoid_classes)
 
 
-def _autolink_walk(root, avoid_hosts, avoid_elements, avoid_classes):
+def _autolink_walk(root, link_regexes, avoid_hosts, avoid_elements, avoid_classes):
     # Iterative: deep documents must not exhaust the recursion limit.
     # An avoided element prunes its whole subtree; a child's *tail* belongs
     # to the parent's context and is linked regardless of the child's own
@@ -165,35 +191,35 @@ def _autolink_walk(root, avoid_hosts, avoid_elements, avoid_classes):
         for child in list(el):
             todo.append(child)
             if child.tail:
-                text, new_links = _link_text(child.tail, avoid_hosts)
+                text, new_links = _link_text(child.tail, link_regexes, avoid_hosts)
                 if new_links:
                     child.tail = text
                     idx = el.index(child)
                     for off, link in enumerate(new_links):
                         el.insert(idx + 1 + off, link)
         if el.text:
-            text, new_links = _link_text(el.text, avoid_hosts)
+            text, new_links = _link_text(el.text, link_regexes, avoid_hosts)
             if new_links:
                 el.text = text
                 for off, link in enumerate(new_links):
                     el.insert(off, link)
 
 
-def _link_text(text: str, avoid_hosts):
+def _link_text(text: str, link_regexes, avoid_hosts):
     """Split text into (leading_text, [<a> elements with tails])."""
     leading = ""
     links: list[Element] = []
     pos = 0
     while True:
         best = None
-        for regex in _LINK_REGEXES:
+        for regex in link_regexes:
             search_from = pos
             while True:
                 m = regex.search(text, search_from)
                 if m is None:
                     break
-                host = m.group("host")
-                if any(h.search(host) for h in avoid_hosts):
+                host = m.groupdict().get("host")
+                if host is not None and any(h.search(host) for h in avoid_hosts):
                     search_from = m.end()
                     continue
                 break
@@ -221,7 +247,7 @@ def _link_text(text: str, avoid_hosts):
             leading = between
         anchor = Element("a")
         anchor.set("href", link_target)
-        body = best.group("body") or link_target
+        body = best.groupdict().get("body") or link_target
         while body and body[-1] in ".,":
             body = body[:-1]
         anchor.text = body

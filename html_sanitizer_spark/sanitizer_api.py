@@ -26,10 +26,23 @@ __all__ = ["Sanitizer", "get_sanitizer", "register_sanitizer"]
 class Sanitizer:
     def __init__(self, settings: dict | None = None):
         self.settings = Settings(settings)
+        # reference-compatible override point (sanitizer.py:252-258): a
+        # subclass that overrides the is_mergeable staticmethod gets its
+        # override injected into the Settings the engine consults. An
+        # explicit settings["is_mergeable"] still wins (the dict form this
+        # facade has always honored).
+        if (
+            (settings is None or "is_mergeable" not in settings)
+            and type(self).is_mergeable is not Sanitizer.is_mergeable
+        ):
+            self.settings.is_mergeable = type(self).is_mergeable
 
-    # reference-compatible override point (sanitizer.py:252-258): the
-    # Settings object consults its own is_mergeable, which users set via the
-    # settings dict exactly like the reference's tests do (tests.py:305).
+    @staticmethod
+    def is_mergeable(e1, e2) -> bool:
+        """Decide if adjacent same-tag elements e1/e2 merge; override in a
+        subclass to honor distinct classes etc. (reference
+        sanitizer.py:252-258)."""
+        return True
 
     def sanitize(self, html: str) -> str:
         """One fragment in, one sanitized fragment out (sanitizer.py:260)."""

@@ -147,3 +147,74 @@ class TestParser:
     def test_crlf_normalized(self):
         root = parse_fragment("<div>a\r\nb\rc</div>")
         assert root[0].text == "a\nb\nc"
+
+
+class TestJsSchemeDefenseInDepth:
+    """lxml Cleaner(javascript=True) neutralizes the full scheme blacklist
+    (javascript/jscript/livescript/vbscript/data/mocha/about) on URL
+    attributes, with base64 data:image/* allowed back — matched here so a
+    config whose allowlist includes src/action keeps the reference's
+    defense-in-depth (ADVICE r01)."""
+
+    IMG = {
+        "tags": {"p", "img"},
+        "empty": {"img"},
+        "separate": set(),
+        "attributes": {"img": {"alt", "src"}},
+    }
+
+    def _clean(self, html):
+        return sanitize(html, Settings(self.IMG))
+
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            '<img src="vbscript:msgbox(1)">',
+            '<img src="jscript:bad()">',
+            '<img src="livescript:bad()">',
+            '<img src="mocha:bad()">',
+            '<img src="about:blank">',
+            '<img src="data:text/html;base64,PHNjcmlwdD4=">',
+            '<img src="data:image/svg+xml;base64,PHN2Zz4=">',
+            '<img src="v b script:msgbox(1)">',
+            '<img src="vbscript%3Amsgbox(1)">',
+            '<img src="java&#x73;cript:alert(1)">',
+        ],
+    )
+    def test_malicious_schemes_blanked(self, payload):
+        out = self._clean(payload)
+        for bad in ("script:", "mocha:", "about:", "data:text", "svg"):
+            assert bad not in out, (payload, out)
+
+    def test_safe_data_image_kept(self):
+        out = self._clean('<img src="data:image/png;base64,iVBORw0KGgo=">')
+        assert "data:image/png;base64,iVBORw0KGgo=" in out
+
+    def test_plain_urls_untouched(self):
+        out = self._clean('<img src="https://example.com/a.png" alt="x">')
+        assert 'src="https://example.com/a.png"' in out
+
+
+class TestAutolinkKwargs:
+    def test_custom_link_regexes(self):
+        """settings['autolink'] dicts forward the full lxml kwargs surface,
+        including link_regexes (reference sanitizer.py:430-431)."""
+        cfg = {
+            "autolink": {
+                "link_regexes": [
+                    r"(?P<body>https://(?P<host>example\.org)/[^ ]*)"
+                ]
+            }
+        }
+        out = sanitize(
+            "<p>see https://example.org/x and https://other.com/y</p>",
+            Settings(cfg),
+        )
+        assert out.count("<a ") == 1, out
+        assert 'href="https://example.org/x"' in out
+        assert "<a href=\"https://other.com/y\"" not in out
+
+    def test_custom_regex_without_host_group(self):
+        cfg = {"autolink": {"link_regexes": [r"(?P<body>go://[a-z.]+)"]}}
+        out = sanitize("<p>try go://somewhere now</p>", Settings(cfg))
+        assert "<a " in out, out

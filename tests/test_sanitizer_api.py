@@ -54,3 +54,55 @@ def test_facade_drives_spark(spark):
     s = Sanitizer()
     out = s.sanitize_df(spark, golden_spans_df(spark, "default"), salt_buckets=4)
     assert out.count() > 0
+
+
+CLASSY = {
+    "tags": {"h1", "p", "a", "span"},
+    "attributes": {"h1": ("class",), "p": ("class",), "span": ("class",),
+                   "a": ("href", "name", "target", "title", "id", "rel")},
+    "empty": set(),
+    "separate": {"a", "p"},
+}
+
+
+class ClassAwareSanitizer(Sanitizer):
+    """The reference's documented override point: subclass + override the
+    is_mergeable staticmethod (sanitizer.py:252-258)."""
+
+    @staticmethod
+    def is_mergeable(e1, e2):
+        return e1.get("class") == e2.get("class")
+
+
+def test_subclass_is_mergeable_override():
+    html = '<h1 class="a">x</h1><h1 class="b">y</h1>'
+    merged = Sanitizer(CLASSY).sanitize(html)
+    kept = ClassAwareSanitizer(CLASSY).sanitize(html)
+    assert merged.count("<h1") == 1, merged
+    assert kept.count("<h1") == 2, kept
+    same = ClassAwareSanitizer(CLASSY).sanitize(
+        '<h1 class="a">x</h1><h1 class="a">y</h1>'
+    )
+    assert same.count("<h1") == 1, same
+
+
+def test_subclass_override_dict_still_wins():
+    always = {**CLASSY, "is_mergeable": lambda e1, e2: True}
+    out = ClassAwareSanitizer(always).sanitize(
+        '<h1 class="a">x</h1><h1 class="b">y</h1>'
+    )
+    assert out.count("<h1") == 1, out
+
+
+def test_subclass_override_drives_spark(spark):
+    """The same subclass instance must carry its override through the
+    distributed path (settings pickled into the UDF closure)."""
+    df = spark.createDataFrame(
+        [("d1", [{"kind": "text",
+                  "text": '<h1 class="a">x</h1><h1 class="b">y</h1>',
+                  "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = ClassAwareSanitizer(CLASSY).sanitize_df(spark, df, salt_buckets=2)
+    text = out.collect()[0]["spans"][0]["text"]
+    assert text.count("<h1") == 2, text
