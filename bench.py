@@ -28,10 +28,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Headline queries: the flagship pipeline both physical plans + the
-# shuffle/window/join-heavy operators.
+# shuffle/window/join-heavy operators. sanitize_docs_nested measures the
+# mapInArrow nested path (the default); _nested_pandas keeps the pandas
+# span-array UDF measured so the Arrow speedup is visible per round, and
+# _memo measures the per-worker output cache separately (off in the
+# headline runs so they time the engine, not corpus redundancy).
 _HEADLINE = [
     "sanitize_docs_exploded",
     "sanitize_docs_nested",
+    "sanitize_docs_nested_pandas",
+    "sanitize_docs_exploded_memo",
     "dedup_minhash_pairs",
     "ann_cosine_topk",
     "embedding_neardup",
@@ -42,7 +48,8 @@ _HEADLINE = [
 ]
 
 
-def _sanitize_workload(spark, sf_dir: str, explode: bool):
+def _sanitize_workload(spark, sf_dir: str, explode: bool, nested_impl="arrow",
+                       memoize: int = 0):
     from html_sanitizer_spark.pipeline.job import sanitize_spans
     from html_sanitizer_spark.queries import spans_from_documents
 
@@ -50,8 +57,40 @@ def _sanitize_workload(spark, sf_dir: str, explode: bool):
     # single-partition aggregation tail (a driver-side sum would serialize
     # the whole output through one task and dominate the measurement)
     return sanitize_spans(
-        spark, spans_from_documents(spark, sf_dir), explode=explode, salt_buckets=CPUS
+        spark, spans_from_documents(spark, sf_dir), explode=explode,
+        salt_buckets=CPUS, nested_impl=nested_impl, memoize=memoize,
     )
+
+
+_SANITIZE_VARIANTS = {
+    "sanitize_docs_exploded": dict(explode=True),
+    "sanitize_docs_nested": dict(explode=False, nested_impl="arrow"),
+    "sanitize_docs_nested_pandas": dict(explode=False, nested_impl="pandas"),
+    "sanitize_docs_exploded_memo": dict(explode=True, memoize=50_000),
+}
+
+
+def _prev_bench() -> dict | None:
+    """Latest BENCH_r{N}.json next to this script, for per-query ratios —
+    regressions become mechanically detectable round over round."""
+    import glob
+    import re
+
+    best_n, best = -1, None
+    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                       "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = data.get("parsed", data)
+        if isinstance(parsed, dict) and "queries" in parsed and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), parsed
+    return best
 
 
 def run_benchmarks(sf_dir: str, cpus: int) -> dict:
@@ -71,11 +110,8 @@ def run_benchmarks(sf_dir: str, cpus: int) -> dict:
 
     for name in _HEADLINE:
         t0 = time.perf_counter()
-        if name == "sanitize_docs_exploded":
-            _sanitize_workload(spark, sf_dir, explode=True).write.format(
-                "noop").mode("overwrite").save()
-        elif name == "sanitize_docs_nested":
-            _sanitize_workload(spark, sf_dir, explode=False).write.format(
+        if name in _SANITIZE_VARIANTS:
+            _sanitize_workload(spark, sf_dir, **_SANITIZE_VARIANTS[name]).write.format(
                 "noop").mode("overwrite").save()
         else:
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -93,6 +129,13 @@ def run_benchmarks(sf_dir: str, cpus: int) -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / sanitize_sec, 1) if sanitize_sec else None,
     }
+    prev = _prev_bench()
+    if prev:
+        result["ratios_vs_prev"] = {
+            q: round(timings[q] / prev["queries"][q], 2)
+            for q in timings
+            if prev["queries"].get(q)
+        }
     spark.stop()
     return result
 

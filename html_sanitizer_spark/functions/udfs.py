@@ -18,6 +18,8 @@ Two shapes:
 
 from __future__ import annotations
 
+import uuid
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -25,7 +27,14 @@ from pyspark.sql import types as T
 from ..configs import settings_for
 from ..engine.core import sanitize
 
-__all__ = ["make_sanitize_udf", "make_span_array_udf", "SPAN_TYPE", "SPANS_TYPE"]
+__all__ = [
+    "make_sanitize_udf",
+    "make_span_array_udf",
+    "sanitize_spans_arrow",
+    "SPAN_TYPE",
+    "SPANS_TYPE",
+    "SAFE_RESULT_TYPE",
+]
 
 SPAN_TYPE = T.StructType(
     [
@@ -36,6 +45,16 @@ SPAN_TYPE = T.StructType(
     ]
 )
 SPANS_TYPE = T.ArrayType(SPAN_TYPE)
+
+# on_error != "raise" result: sanitized text + explicit error flag, so a
+# poison row is visible downstream (quarantine / lineage counters) instead
+# of silently emitting unsanitized bytes (ADVICE r01).
+SAFE_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("err", T.BooleanType()),
+    ]
+)
 
 
 def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
@@ -53,11 +72,14 @@ def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
     redundancy.
 
     ``on_error``: poison-document policy for 100TB runs, where one
-    pathological fragment must not kill a 10^6-task job.
+    pathological fragment must not kill a 10^6-task job. Non-"raise" modes
+    return struct<text, err> so the failure is an explicit flag, never a
+    silent pass-through of unsanitized bytes:
       - "raise" (default): propagate — correctness runs want loud failures;
-      - "keep":  pass the offending fragment through unsanitized (flagged
-        by byte-identity downstream);
-      - "null":  null the text (drops the content, keeps the span slot).
+      - "keep":  pass the offending fragment through unsanitized with
+        err=true (route to quarantine / count in lineage downstream);
+      - "null":  null the text with err=true (drops the content, keeps the
+        span slot).
     """
     if on_error not in ("raise", "keep", "null"):
         raise ValueError(f"on_error must be raise|keep|null, got {on_error!r}")
@@ -66,27 +88,36 @@ def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
     if on_error != "raise":
         keep = on_error == "keep"
 
-        def _safe(t):
-            try:
-                return sanitize(t, settings_obj)
-            except Exception:
-                return t if keep else None
-
-        @F.pandas_udf(T.StringType())
-        def sanitize_batch_safe(texts: pd.Series) -> pd.Series:
-            return pd.Series(
-                [_safe(t) if t is not None else None for t in texts],
-                dtype="object",
-            )
+        @F.pandas_udf(SAFE_RESULT_TYPE)
+        def sanitize_batch_safe(texts: pd.Series) -> pd.DataFrame:
+            outs: list = []
+            errs: list = []
+            for t in texts:
+                if t is None:
+                    outs.append(None)
+                    errs.append(False)
+                    continue
+                try:
+                    outs.append(sanitize(t, settings_obj))
+                    errs.append(False)
+                except Exception:
+                    outs.append(t if keep else None)
+                    errs.append(True)
+            return pd.DataFrame({"text": outs, "err": errs})
 
         return sanitize_batch_safe
 
     if memoize > 0:
         cache_size = memoize
+        # per-UDF unique key: id(settings) can be recycled by CPython after
+        # a GC, letting a long-lived worker serve entries cached under a
+        # DIFFERENT config (ADVICE r01) — a uuid per make_sanitize_udf call
+        # cannot collide
+        memo_key = uuid.uuid4().hex
 
         @F.pandas_udf(T.StringType())
         def sanitize_batch_memo(texts: pd.Series) -> pd.Series:
-            cache = _worker_memo.setdefault(id_key, {})
+            cache = _worker_memo.setdefault(memo_key, {})
             out = []
             for t in texts:
                 if t is None:
@@ -101,7 +132,6 @@ def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
                 out.append(hit)
             return pd.Series(out, dtype="object")
 
-        id_key = id(settings_obj)
         return sanitize_batch_memo
 
     @F.pandas_udf(T.StringType())
@@ -115,7 +145,8 @@ def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
     return sanitize_batch
 
 
-# per-python-worker memo store, keyed by settings identity
+# per-python-worker memo store, keyed by a per-UDF uuid (never recycled,
+# unlike id(settings))
 _worker_memo: dict = {}
 
 
@@ -157,3 +188,53 @@ def make_span_array_udf(settings=None):
         return pd.Series([fix(v) for v in spans_col], dtype="object")
 
     return sanitize_spans_batch
+
+
+def sanitize_spans_arrow(df, settings=None):
+    """Nested zero-extra-shuffle path via ``mapInArrow`` (SURVEY.md §2.10):
+    operates on pyarrow RecordBatches directly — the flattened struct
+    children are rebuilt column-wise (only the ``text`` child is touched),
+    skipping the per-row dict conversion the pandas span-array UDF pays.
+    Same semantics as make_span_array_udf; measurably faster per batch.
+    """
+    import pyarrow as pa
+
+    settings_obj = settings_for(settings)
+    schema = df.schema
+
+    def fix_batches(batches):
+        for batch in batches:
+            names = batch.schema.names
+            idx = names.index("spans")
+            lst = batch.column(idx)
+            if isinstance(lst, pa.ChunkedArray):  # defensive; batches are flat
+                lst = lst.combine_chunks()
+            values = lst.values  # flattened StructArray (absolute offsets)
+            kinds = values.field("kind")
+            texts = values.field("text")
+            new_text = [
+                sanitize(t, settings_obj)
+                if k == "text" and t is not None
+                else t
+                for k, t in zip(kinds.to_pylist(), texts.to_pylist())
+            ]
+            new_values = pa.StructArray.from_arrays(
+                [
+                    values.field("kind"),
+                    pa.array(new_text, pa.string()),
+                    values.field("media_ref"),
+                    values.field("offset"),
+                ],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            null_mask = lst.is_null() if lst.null_count else None
+            new_list = pa.ListArray.from_arrays(
+                lst.offsets, new_values, mask=null_mask
+            )
+            arrays = [
+                new_list if i == idx else batch.column(i)
+                for i in range(batch.num_columns)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(fix_batches, schema)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.utils import PythonException
 
 from html_sanitizer_spark.functions import udfs
@@ -63,3 +64,71 @@ def test_auto_plan_selection(spark):
     for df in (small, mega):
         out = sanitize_spans(spark, df, explode="auto")
         assert out.count() == 20
+
+
+def test_on_error_flag_visible_in_lineage(spark, poison, doc):
+    """Safe modes must not be silent: the poison span carries an explicit
+    span_error flag on the exploded frame and lineage counts it."""
+    from html_sanitizer_spark.pipeline.job import (
+        explode_spans,
+        lineage_metrics,
+        sanitize_exploded,
+    )
+
+    clean = sanitize_exploded(explode_spans(doc), None, salt_buckets=2,
+                              on_error="keep")
+    rows = {r["span"]["text"]: r["span_error"] for r in clean.collect()}
+    assert rows["<p>BOOM</p>"] is True
+    assert all(not v for t, v in rows.items() if t != "<p>BOOM</p>")
+    lineage = lineage_metrics(clean).collect()
+    assert sum(r["n_errors"] for r in lineage) == 1
+
+
+def test_raise_mode_lineage_has_zero_errors(spark, doc):
+    from html_sanitizer_spark.pipeline.job import (
+        explode_spans,
+        lineage_metrics,
+        sanitize_exploded,
+    )
+
+    clean = sanitize_exploded(explode_spans(doc), None, salt_buckets=2)
+    lineage = lineage_metrics(clean).collect()
+    assert sum(r["n_errors"] for r in lineage) == 0
+
+
+def test_auto_probe_is_bounded(spark):
+    """explode='auto' must not full-scan the input: the probe plan is a
+    GlobalLimit, and an explicit max_spans_hint skips the probe job."""
+    from html_sanitizer_spark.pipeline import job as job_mod
+
+    df = synth_spans_df(spark, 50, seed=3, mega_every=0)
+    probe = (
+        df.select(F.size("spans").alias("n"))
+        .limit(job_mod._AUTO_PROBE_ROWS)
+        .agg(F.max("n"))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "GlobalLimit" in plan or "CollectLimit" in plan, plan
+
+    # hint path: no probe job runs (monkeypatch would raise if it did)
+    orig = job_mod._probe_max_spans
+    job_mod._probe_max_spans = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("probe ran despite hint")
+    )
+    try:
+        out = sanitize_spans(spark, df, explode="auto", max_spans_hint=10_000)
+        assert out.count() == 50
+    finally:
+        job_mod._probe_max_spans = orig
+
+
+def test_nested_pandas_and_arrow_agree(spark):
+    from html_sanitizer_spark.pipeline.job import sanitize_spans as ss
+
+    df = synth_spans_df(spark, 80, seed=11, mega_every=0).cache()
+    a = ss(spark, df, explode=False, nested_impl="arrow")
+    p = ss(spark, df, explode=False, nested_impl="pandas")
+    rows_a = {r["doc_id"]: r["spans"] for r in a.collect()}
+    rows_p = {r["doc_id"]: r["spans"] for r in p.collect()}
+    assert rows_a == rows_p
+    df.unpersist()

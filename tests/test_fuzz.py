@@ -82,3 +82,91 @@ def test_tag_soup_structured(parts):
     once = sanitize(html, _SETTINGS)
     twice = sanitize(once, _SETTINGS)
     assert re.sub(r" +", " ", twice) == re.sub(r" +", " ", once), (html, once, twice)
+
+
+# ---------------------------------------------------------------------------
+# Recovery corpus beyond the golden 112 (VERDICT r01 #9): nested tables /
+# selects, mis-nested inline tags, CDATA-ish junk, doctype/PI noise, broken
+# attributes, foreign content. Contract: no crash, only allowed tags, no
+# control chars, structurally idempotent.
+# ---------------------------------------------------------------------------
+
+_NASTY_CASES = [
+    "<table><tr><td>a<td>b</table>tail",
+    "<table><thead><tr><th>h</table><p>after</p>",
+    "<select><option>a<option>b</select>done",
+    "<b><i>mis</b>nested</i> tail",
+    "<em><strong>x</em></strong>y",
+    "<strong><p>block in inline</strong></p>",
+    "<![CDATA[ <script>x()</script> ]]>after",
+    "<!-- comment --><p>x</p><!-->",
+    "<!--[if IE]><script>evil()</script><![endif]--><p>safe</p>",
+    "<!DOCTYPE html><?php echo 1 ?><p>y</p>",
+    "<p><table><p>nested block</p></table></p>",
+    "<ul><li>a<ul><li>b</li></ul>",
+    "<ol><li><ol><li><ol><li>deep</ol>",
+    "<a href='/x'><a href='/y'>double anchor</a></a>",
+    "<p>unclosed <em>emphasis",
+    "</p>stray close<p>ok</p></em></strong>",
+    "<p foo='bar' foo='baz' =x>dupe attrs</p>",
+    "<p/><br/><hr/>self closed blocks",
+    "<style>p{color:red}</style><p>after style</p>",
+    "<script src=x>var a='</p>';</script><p>after script</p>",
+    "<textarea><p>inside</p></textarea>",
+    "<svg onload=alert(1)><circle r='1'/></svg>text",
+    "<math><mi>x</mi><annotation-xml><p>y</p></annotation-xml></math>",
+    "<p>&#xD800;&#x110000;&#0;bad refs</p>",
+    "&#xfeff;&notanentity;&amp",
+    "<p title='unterminated>x</p><p>next</p>",
+    '<p ="weird" == =>y</p>',
+    "<" + "div" * 200 + ">absurd tagname</div>",
+    "<p>" + "<span>" * 300 + "deep inline" + "</span>" * 100,
+    "a<br/>b<br />c<br>d</br>e",
+]
+
+
+def _assert_clean(html, out):
+    for m in _TAG_RE.finditer(out):
+        assert m.group(1).lower() in _ALLOWED, (html, out)
+    assert not _CONTROL_RE.search(out), (html, out)
+    assert "javascript:" not in out.lower().replace(" ", ""), (html, out)
+
+
+def test_nasty_recovery_corpus():
+    for html in _NASTY_CASES:
+        once = sanitize(html, _SETTINGS)
+        twice = sanitize(once, _SETTINGS)
+        _assert_clean(html, once)
+        assert re.sub(r" +", " ", twice) == re.sub(r" +", " ", once), (
+            html, once, twice,
+        )
+
+
+_SOUP_PARTS = [
+    "<table>", "</table>", "<tr>", "<td>", "<select>", "<option>",
+    "</select>", "<b>", "</i>", "<i>", "</b>", "<em>", "</strong>",
+    "<strong>", "</em>", "<p>", "</p>", "<li>", "<ul>", "</ul>", "<div>",
+    "</div>", "<span class='x'>", "</span>", "<![CDATA[x]]>", "<!-- c -->",
+    "<!DOCTYPE x>", "<?pi ?>", "text ", "&amp;", "&#65;", "<a href='/x'>",
+    "</a>", "<br>", "<td colspan=2>",
+]
+
+
+@given(st.lists(st.sampled_from(_SOUP_PARTS), max_size=40))
+@hsettings(max_examples=250, deadline=None)
+def test_misnested_structured_soup(parts):
+    """Arbitrary interleavings of table/select/inline open-close tags and
+    markup junk: recovery must be crash-free, allowlist-clean, and stable
+    from the second pass on. (One-pass idempotence is false for the
+    REFERENCE too: its strict unwrap pass runs after the p-in-li flatten
+    walk, so '<li><table><p>x' legitimately needs a second pass to settle —
+    the property here is no oscillation beyond that.)"""
+    html = "".join(parts)
+    once = sanitize(html, _SETTINGS)
+    twice = sanitize(once, _SETTINGS)
+    thrice = sanitize(twice, _SETTINGS)
+    _assert_clean(html, once)
+    _assert_clean(html, twice)
+    assert re.sub(r" +", " ", thrice) == re.sub(r" +", " ", twice), (
+        html, twice, thrice,
+    )
