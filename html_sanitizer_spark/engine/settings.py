@@ -60,14 +60,15 @@ TYPOGRAPHIC_WHITESPACE = "".join(sorted({unicodedata.lookup(n) for n in _TYPO_NA
 
 
 def _as_set(value) -> set:
-    """Coerce sets/lists/tuples to set; reject anything else.
+    """Coerce sets/lists/tuples to set; reject anything else — including
+    frozenset, which the reference's isinstance(value, set) check rejects.
 
-    Reference: sanitizer.py:194-199 (same TypeError message shape, asserted
-    by tests.py:598-603).
+    Reference: sanitizer.py:194-199 (same TypeError message shape and same
+    accepted types, asserted by tests.py:598-603).
     """
     if isinstance(value, set):
         return set(value)
-    if isinstance(value, (tuple, list, frozenset)):
+    if isinstance(value, (tuple, list)):
         return set(value)
     raise TypeError(f"Expected a set but got value {value!r} of type {type(value)}")
 

@@ -770,10 +770,20 @@ FROM ranked WHERE rank <= 3
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by label (the
-    blocked/bucketed scale path: join only within blocks, never all-pairs)."""
+    blocked/bucketed scale path: join only within blocks, never all-pairs).
+    Block-size guard: labels with > 1000 vectors are dropped before the
+    self-join — a hot label makes the block quadratic; at scale such blocks
+    must be re-blocked (LSH within label) rather than paired directly."""
     e = _emb(spark, sf_dir).select(
         "label", "vec_id", _unit(F.col("embedding")).alias("unit")
     )
+    small_blocks = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("block_n"))
+        .filter(F.col("block_n") <= 1000)
+        .drop("block_n")
+    )
+    e = e.join(F.broadcast(small_blocks), "label")
     a = e.select(F.col("label").alias("l"), F.col("vec_id").alias("va"),
                  F.col("unit").alias("ea"))
     b = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vb"),
@@ -794,11 +804,14 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 _ORACLE_NEARDUP = """
-WITH e AS (SELECT label, vec_id,
+WITH e_all AS (SELECT label, vec_id,
                   list_transform(list_transform(embedding, x -> x::DOUBLE),
                     x -> x / sqrt(list_sum(list_transform(embedding,
                                     y -> y::DOUBLE * y::DOUBLE)))) AS emb
            FROM embeddings),
+e AS (SELECT label, vec_id, emb FROM (
+        SELECT *, count(*) OVER (PARTITION BY label) AS block_n FROM e_all)
+      WHERE block_n <= 1000),
 pairs AS (
   SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
          round(list_sum(list_transform(range(1, len(a.emb) + 1),

@@ -218,3 +218,10 @@ class TestAutolinkKwargs:
         cfg = {"autolink": {"link_regexes": [r"(?P<body>go://[a-z.]+)"]}}
         out = sanitize("<p>try go://somewhere now</p>", Settings(cfg))
         assert "<a " in out, out
+
+
+def test_frozenset_rejected_like_reference():
+    """The reference's coerce_to_set accepts set/tuple/list ONLY —
+    isinstance(frozenset(), set) is False (sanitizer.py:194-199)."""
+    with pytest.raises(TypeError, match="Expected a set but got"):
+        Settings({"tags": frozenset({"p"})})
