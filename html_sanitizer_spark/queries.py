@@ -342,13 +342,13 @@ FROM sigs
 """
 
 
-def q_dedup_minhash_pairs(spark, sf_dir):
-    """LSH candidate pairs: docs sharing any band bucket (the band->bucket
-    self-join), deduplicated. The join is an equi hash join per band —
-    shuffle on the band key, never all-pairs. Oversized buckets (> 100
-    docs) are dropped before pairing: a bucket that large means the band
-    carries no discriminating power (pairing it is quadratic noise), the
-    standard skew guard for LSH dedup at scale."""
+def _minhash_candidate_pairs(spark, sf_dir) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b): docs sharing any band bucket
+    (the band->bucket self-join), deduplicated. The join is an equi hash
+    join per band — shuffle on the band key, never all-pairs. Oversized
+    buckets (> 100 docs) are dropped before pairing: a bucket that large
+    means the band carries no discriminating power (pairing it is quadratic
+    noise), the standard skew guard for LSH dedup at scale."""
     bands = q_dedup_minhash(spark, sf_dir)
     stacked = bands.selectExpr(
         "doc_id",
@@ -363,7 +363,7 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     stacked = stacked.join(sizes, ["band_idx", "band_key"])
     a = stacked.alias("a")
     b = stacked.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -375,6 +375,12 @@ def q_dedup_minhash_pairs(spark, sf_dir):
         )
         .distinct()
     )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """Candidate-pair count of the LSH band join (see
+    _minhash_candidate_pairs for the topology and skew guard)."""
+    pairs = _minhash_candidate_pairs(spark, sf_dir)
     return pairs.groupBy().agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
 
 
@@ -488,6 +494,257 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+"""
+
+
+def q_dedup_verified(spark, sf_dir):
+    """Near-dup verification stage: exact 3-gram Jaccard computed ONLY over
+    the LSH candidate pairs — the 100TB-correct shape (the candidate set is
+    ~linear in corpus size, so the expensive exact measure never touches
+    the full pair space; VERDICT r01 #4's 'compute Jaccard only over LSH
+    candidate pairs'). Verified duplicate = jaccard >= 0.7."""
+    pairs = _minhash_candidate_pairs(spark, sf_dir)
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, greatest(length(text)-2, 1)),"
+                       " i -> substring(text, i, 3))")
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        4,
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b", jac.alias("jaccard"),
+            F.when(jac >= 0.7, 1).otherwise(0).alias("is_dup"),
+        )
+    )
+
+
+_ORACLE_DEDUP_VERIFIED = """
+WITH mh AS (
+  SELECT doc_id, md5(unnest(list_transform(range(1, greatest(len(text)-2, 1) + 1),
+                                           i -> substr(text, i, 3)))) AS h
+  FROM documents WHERE len(text) >= 3),
+sigs AS (
+  SELECT doc_id,
+         min(substr(h,  1, 8)) AS sig0, min(substr(h,  4, 8)) AS sig1,
+         min(substr(h,  7, 8)) AS sig2, min(substr(h, 10, 8)) AS sig3,
+         min(substr(h, 13, 8)) AS sig4, min(substr(h, 16, 8)) AS sig5,
+         min(substr(h, 19, 8)) AS sig6, min(substr(h, 22, 8)) AS sig7
+  FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band_idx,
+         CASE band_idx WHEN 0 THEN md5(sig0 || sig1) WHEN 1 THEN md5(sig2 || sig3)
+                       WHEN 2 THEN md5(sig4 || sig5) ELSE md5(sig6 || sig7)
+         END AS band_key
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+kept AS (
+  SELECT doc_id, band_idx, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+    FROM bands)
+  WHERE bucket_n <= 100),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1) + 1),
+                                         i -> substr(text, i, 3))) AS shingle
+    FROM documents WHERE len(text) >= 3)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard,
+       CASE WHEN round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.7
+            THEN 1 ELSE 0 END AS is_dup
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level dedup (the CCNet-style line-dedup shape): documents
+    are chunked into fixed 8-token 'paragraphs' (deterministic splitter —
+    the corpus has no newline structure), each paragraph hashed, and an
+    occurrence is KEPT iff it is the globally-first occurrence of its hash
+    (smallest (doc_id, pos) — a window over the hash key, shuffle on the
+    hash, never all-pairs). Per-doc rollup: total / globally-duplicated /
+    kept paragraph counts."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    toks = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / F.lit(8)).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    ex = d.select("doc_id", F.posexplode(paras).alias("pos", "para"))
+    h = ex.select("doc_id", "pos", F.md5("para").alias("ph"))
+    w_first = Window.partitionBy("ph").orderBy("doc_id", "pos")
+    w_freq = Window.partitionBy("ph")
+    flagged = h.withColumn("rn", F.row_number().over(w_first)).withColumn(
+        "freq", F.count(F.lit(1)).over(w_freq)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).alias("n_dup_paras"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept_paras"),
+    )
+
+
+_ORACLE_PARAGRAPH = """
+WITH ex AS (
+  SELECT doc_id,
+         generate_subscripts(paras, 1) - 1 AS pos,
+         unnest(paras) AS para
+  FROM (SELECT doc_id,
+               list_transform(range(0, ((len(string_split(text, ' ')) - 1) // 8) + 1),
+                 i -> array_to_string(list_slice(string_split(text, ' '),
+                                                 i * 8 + 1, i * 8 + 8), ' ')) AS paras
+        FROM documents WHERE n_chars > 0)),
+h AS (SELECT doc_id, pos, md5(para) AS ph FROM ex),
+flagged AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY ph) AS freq
+  FROM h)
+SELECT doc_id, count(*) AS n_paras,
+       sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept_paras
+FROM flagged GROUP BY doc_id
+"""
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub (training-data redaction): deterministic synthetic PII
+    (email / phone / IPv4) appended per doc, then redacted with typed
+    placeholders; per-doc counts of each redaction. Pure JVM regexes."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), sid, F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>",
+        ),
+        _IP_RE, "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(dirty, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(dirty, F.lit(_IP_RE), 0)).alias("n_ips"),
+    )
+
+
+_ORACLE_PII = rf"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id::VARCHAR || '@example.com or +1-555-'
+           || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+           || ((doc_id * 7) % 256)::VARCHAR AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g'),
+         '{_IP_RE}', '<IP>', 'g') AS scrubbed,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(t, '{_IP_RE}')) AS n_ips
+FROM dirty
+"""
+
+
+def q_url_host_rollup(spark, sf_dir):
+    """Domain-frequency rollup (source filtering stage): synthesize a URL
+    per doc, extract the host relationally, roll up per host."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    return (
+        d.select(host.alias("host"), "doc_id", "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_ORACLE_URL_HOST = r"""
+SELECT regexp_extract('https://' || source || '.example.org/p/' || doc_id::VARCHAR,
+                      '^https?://([^/]+)', 1) AS host,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_length_stats(spark, sf_dir):
+    """Per-language length distribution (corpus QA stage): exact
+    interpolated percentiles + mean/max — the filter-threshold inputs a
+    quality pipeline derives per language."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_ORACLE_LENGTH_STATS = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 4) AS p95_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
 """
 
 
@@ -1120,6 +1377,11 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "dedup_minhash": (q_dedup_minhash, _ORACLE_MINHASH),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, _ORACLE_MINHASH_PAIRS),
     "ngram_jaccard": (q_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
+    "dedup_verified": (q_dedup_verified, _ORACLE_DEDUP_VERIFIED),
+    "paragraph_dedup": (q_paragraph_dedup, _ORACLE_PARAGRAPH),
+    "pii_scrub": (q_pii_scrub, _ORACLE_PII),
+    "url_host_rollup": (q_url_host_rollup, _ORACLE_URL_HOST),
+    "length_stats": (q_length_stats, _ORACLE_LENGTH_STATS),
     "simhash64": (q_simhash, _ORACLE_SIMHASH),
     "lang_id": (q_lang_id, _ORACLE_LANG),
     "quality_score": (q_quality_score, _ORACLE_QUALITY),
