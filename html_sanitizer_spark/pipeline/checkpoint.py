@@ -111,13 +111,15 @@ class CheckpointedRun:
     n_buckets: int
     config_fingerprint: str
     done: list[int] = field(default_factory=list)
+    on_error: str = "raise"
 
     @property
     def manifest_path(self) -> str:
         return os.path.join(self.out_dir, MANIFEST_NAME)
 
     @classmethod
-    def load_or_create(cls, out_dir: str, n_buckets: int, fingerprint: str):
+    def load_or_create(cls, out_dir: str, n_buckets: int, fingerprint: str,
+                       on_error: str = "raise"):
         path = os.path.join(out_dir, MANIFEST_NAME)
         if os.path.exists(path):
             with open(path) as fh:
@@ -132,9 +134,16 @@ class CheckpointedRun:
                     f"Refusing to resume: manifest n_buckets {m['n_buckets']}"
                     f" != requested {n_buckets}"
                 )
-            return cls(out_dir, n_buckets, fingerprint, list(m["done"]))
+            if m.get("on_error", "raise") != on_error:
+                raise ValueError(
+                    f"Refusing to resume: manifest on_error "
+                    f"{m.get('on_error', 'raise')!r} != requested {on_error!r}"
+                    " (would mix poison-row policies across buckets)"
+                )
+            return cls(out_dir, n_buckets, fingerprint, list(m["done"]),
+                       on_error)
         os.makedirs(out_dir, exist_ok=True)
-        return cls(out_dir, n_buckets, fingerprint)
+        return cls(out_dir, n_buckets, fingerprint, on_error=on_error)
 
     def commit_bucket(self, bucket: int) -> None:
         """Atomic manifest update AFTER the bucket's data is fully written:
@@ -147,6 +156,7 @@ class CheckpointedRun:
             "n_buckets": self.n_buckets,
             "config_fingerprint": self.config_fingerprint,
             "done": sorted(self.done),
+            "on_error": self.on_error,
         }
         fd, tmp = tempfile.mkstemp(dir=self.out_dir, prefix="._manifest")
         with os.fdopen(fd, "w") as fh:
@@ -163,6 +173,8 @@ def run_checkpointed(
     salt_buckets: int = 32,
     fail_after_bucket: int | None = None,
     table_format: str = "dirs",
+    on_error: str = "raise",
+    memoize: int = 0,
 ) -> CheckpointedRun:
     """Sanitize ``df`` into ``out_dir`` bucket-by-bucket with resume.
 
@@ -172,10 +184,15 @@ def run_checkpointed(
     the resume manifest as the source of truth for which buckets committed.
     ``fail_after_bucket`` is a test hook: raise after committing that many
     buckets to simulate a mid-run crash.
+    ``on_error`` != "raise" routes poison spans to an explicit quarantine
+    table (``out_dir/_quarantine/bucket=<k>``, the exploded rows with their
+    span_error flag) in addition to the keep/null output policy — lineage
+    carries per-partition n_errors either way. The policy is recorded in
+    the manifest; resuming under a different policy refuses.
     """
     settings_obj = settings_for(settings)
     fp = _config_fingerprint(settings_obj)
-    run = CheckpointedRun.load_or_create(out_dir, n_buckets, fp)
+    run = CheckpointedRun.load_or_create(out_dir, n_buckets, fp, on_error)
     table = None
     if table_format == "iceberg-lite":
         from .iceberg_lite import IcebergLiteTable
@@ -193,9 +210,16 @@ def run_checkpointed(
             # hash bucket received no rows — still emit an (empty) committed
             # output dir so read_checkpointed's bucket=* glob stays uniform
             part = spark.createDataFrame([], df.schema)
-        clean = sanitize_exploded(explode_spans(part), settings_obj, salt_buckets)
+        clean = sanitize_exploded(explode_spans(part), settings_obj, salt_buckets,
+                                  on_error=on_error, memoize=memoize)
         clean = clean.persist()
         result = reassemble_spans(clean, two_phase=True)
+        if on_error != "raise":
+            clean.filter(F.col("span_error")).select(
+                "doc_id", "pos", "span"
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "_quarantine", f"bucket={bucket}")
+            )
         if table is not None:
             # idempotence on crash-between-commit-points: if a prior attempt
             # already snapshotted this bucket (table commit landed, resume

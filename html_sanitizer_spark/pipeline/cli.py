@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="zero-reassembly-shuffle plan (no mega-doc skew)")
     ap.add_argument("--no-checkpoint", action="store_true",
                     help="single write, no manifest/resume")
+    ap.add_argument("--on-error", choices=("raise", "keep", "null"),
+                    default="raise",
+                    help="poison-span policy; non-raise routes errored spans"
+                         " to <output>/_quarantine and counts them in lineage")
+    ap.add_argument("--memoize", type=int, default=0,
+                    help="per-worker sanitize output cache size (exact; for"
+                         " boilerplate-heavy corpora)")
     ap.add_argument("--parallelism", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -51,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         out = sanitize_spans(
             spark, df, settings=settings,
             explode=not args.nested, salt_buckets=args.salt,
+            on_error=args.on_error, memoize=args.memoize,
         )
         out.write.mode("overwrite").parquet(args.output)
         done = "all (single write)"
@@ -58,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         run = run_checkpointed(
             spark, df, args.output, settings=settings,
             n_buckets=args.buckets, salt_buckets=args.salt,
+            on_error=args.on_error, memoize=args.memoize,
         )
         done = sorted(run.done)
     print(json.dumps({"input": args.input, "output": args.output,

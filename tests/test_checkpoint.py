@@ -98,3 +98,47 @@ def test_lineage_written(spark, tmp_path):
     assert {c for c in lineage.columns} >= {
         "part_id", "n_spans", "n_docs_approx", "text_bytes_out", "bucket"
     }
+
+
+def test_quarantine_written_on_keep(spark, tmp_path, monkeypatch):
+    """on_error='keep' routes poison spans to an explicit quarantine table
+    per bucket and records the policy in the manifest (resume under a
+    different policy refuses)."""
+    from html_sanitizer_spark.functions import udfs
+    from html_sanitizer_spark.pipeline.synth import DOC_SCHEMA
+
+    orig = udfs.sanitize
+
+    def bomb(t, s):
+        if "BOOM" in t:
+            raise RuntimeError("poison document")
+        return orig(t, s)
+
+    monkeypatch.setattr(udfs, "sanitize", bomb)
+    docs = [
+        {"doc_id": f"d{i}", "spans": [
+            {"kind": "text",
+             "text": "<p>BOOM</p>" if i == 3 else f"<p>ok {i}</p>",
+             "media_ref": "", "offset": 0},
+        ]}
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, schema=DOC_SCHEMA)
+    out = str(tmp_path / "out")
+    run = run_checkpointed(spark, df, out, n_buckets=2, on_error="keep")
+    assert sorted(run.done) == [0, 1]
+
+    q = spark.read.parquet(os.path.join(out, "_quarantine", "bucket=*"))
+    qrows = q.collect()
+    assert len(qrows) == 1 and "BOOM" in qrows[0]["span"]["text"]
+    # keep policy: the raw span is still in the main output, flagged only
+    # via quarantine/lineage
+    main = read_checkpointed(spark, out)
+    texts = {r["doc_id"]: r["spans"][0]["text"] for r in main.collect()}
+    assert texts["d3"] == "<p>BOOM</p>"
+    assert texts["d0"] == "<p>ok 0</p>"
+    lineage = spark.read.parquet(os.path.join(out, "_lineage", "bucket=*"))
+    assert sum(r["n_errors"] for r in lineage.collect()) == 1
+    # policy drift refused on resume
+    with pytest.raises(ValueError, match="on_error"):
+        run_checkpointed(spark, df, out, n_buckets=2, on_error="null")
