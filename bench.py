@@ -220,9 +220,43 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
     }
 
 
+def run_big(cpus: int, n_docs: int) -> dict:
+    """Sustained-throughput leg at a larger synthetic corpus (the sf
+    tables top out at 5k docs): materialize n_docs (Zipf-skewed spans incl.
+    mega-docs) to parquet, run the full exploded pipeline at local[cpus],
+    report docs/sec. Evidence that throughput holds as the corpus grows ~4x
+    past the scaling bench's 60k."""
+    import tempfile
+
+    from html_sanitizer_spark.pipeline.job import sanitize_spans
+    from html_sanitizer_spark.pipeline.session import get_spark
+    from html_sanitizer_spark.pipeline.synth import synth_spans_df
+
+    spark = get_spark(f"big-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+    tmp = tempfile.mkdtemp(prefix=f"big{cpus}-")
+    synth_spans_df(spark, n_docs, seed=42, mega_every=10_000,
+                   partitions=cpus * 4, text_repeat=SCALING_REPEAT
+                   ).write.mode("overwrite").parquet(tmp)
+    df = spark.read.parquet(tmp)
+    n = df.count()
+    # warm-up slice
+    sanitize_spans(spark, df.limit(500), explode=True,
+                   salt_buckets=cpus).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    sanitize_spans(spark, df, explode=True, salt_buckets=cpus * 4).write.format(
+        "noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"workload": "sanitize_docs_exploded", "docs": n, "cpus": cpus,
+            "sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--big", action="store_true",
+                    help="sustained-throughput leg on a larger synth corpus")
+    ap.add_argument("--big-docs", type=int, default=240_000)
     ap.add_argument("--one-shot-scaling", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
@@ -236,6 +270,11 @@ if __name__ == "__main__":
 
     if args.one_shot_scaling:
         _one_shot_scaling(args.sf_dir, args.cpus)
+    elif args.big:
+        report = run_big(args.cpus, args.big_docs)
+        with open("BENCH_BIG.json", "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(json.dumps(report))
     elif args.scaling:
         report = run_scaling(args.sf_dir, args.low, args.high)
         with open("BENCH_SCALING.json", "w") as fh:
