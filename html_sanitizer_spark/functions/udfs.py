@@ -238,3 +238,17 @@ def sanitize_spans_arrow(df, settings=None):
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(fix_batches, schema)
+
+
+def register_sql_functions(spark, settings=None, name: str = "sanitize_html"):
+    """Expose the sanitizer to Spark SQL:
+
+        register_sql_functions(spark)
+        spark.sql("SELECT sanitize_html(html_col) FROM fragments")
+
+    Registers the fused Arrow-batched sanitize UDF under ``name`` (one
+    registration per config — pass a config name or Settings and a distinct
+    ``name`` for additional variants)."""
+    udf = make_sanitize_udf(settings)
+    spark.udf.register(name, udf)
+    return udf

@@ -36,11 +36,14 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
     The sf* driver tables are single parquet splits, so without this the
     whole shingle/digest/sanitize map work serializes on one task. On real
-    multi-split 100TB inputs this is a no-op decision: the scan already
-    yields thousands of partitions and the repartition should be skipped —
-    hence round-robin on the *existing* row order, costing one narrow-ish
-    shuffle of the small input."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    multi-split 100TB inputs the scan already yields thousands of
+    partitions, so the repartition is SKIPPED (checked against the scan's
+    actual partitioning) — the shuffle only exists where it buys
+    parallelism."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,7 +507,7 @@ def q_dedup_verified(spark, sf_dir):
     the full pair space; VERDICT r01 #4's 'compute Jaccard only over LSH
     candidate pairs'). Verified duplicate = jaccard >= 0.7."""
     pairs = _minhash_candidate_pairs(spark, sf_dir)
-    d = _docs(spark, sf_dir).filter(F.length("text") >= 3)
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 3))
     sh = d.select(
         "doc_id",
         F.explode(
@@ -513,7 +516,7 @@ def q_dedup_verified(spark, sf_dir):
                        " i -> substring(text, i, 3))")
             )
         ).alias("shingle"),
-    )
+    ).persist()  # consumed 3x below (sizes + both join sides): shingle once
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -172,3 +172,16 @@ class TestStreaming:
         write_epoch(synth_spans_df(spark, 5, seed=32, mega_every=0),
                     out_dir, epoch_id=1)
         assert read_stream_output(spark, out_dir).count() == 35
+
+
+def test_sql_registered_sanitizer(spark):
+    from html_sanitizer_spark.functions.udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [("<b>x</b><script>evil()</script>",)], ["html"]
+    ).createOrReplaceTempView("fragments_sql_test")
+    row = spark.sql(
+        "SELECT sanitize_html(html) AS clean FROM fragments_sql_test"
+    ).collect()[0]
+    assert row["clean"] == "<strong>x</strong>"
