@@ -185,3 +185,20 @@ def test_sql_registered_sanitizer(spark):
         "SELECT sanitize_html(html) AS clean FROM fragments_sql_test"
     ).collect()[0]
     assert row["clean"] == "<strong>x</strong>"
+
+
+def test_streaming_exploded_plan(spark, tmp_path):
+    """Firehose shape: the streaming path with explode=True (salted
+    exploded plan inside foreachBatch) must produce the same output set."""
+    from html_sanitizer_spark.streaming.stream_job import (
+        read_stream_output,
+        stream_sanitize_parquet_dir,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    synth_spans_df(spark, 30, seed=41, mega_every=0).write.parquet(in_dir)
+    q = stream_sanitize_parquet_dir(spark, in_dir, out_dir, ckpt, explode=True)
+    q.awaitTermination(120)
+    got = read_stream_output(spark, out_dir)
+    assert got.count() == 30
+    assert got.select("doc_id").distinct().count() == 30

@@ -117,3 +117,13 @@ def test_anti_join_resume_shape(spark):
     n_remaining = remaining.count()
     n_done = bucketed.join(F.broadcast(done), "bucket", "left_semi").count()
     assert n_remaining + n_done == n_all
+
+
+def test_pii_scrub_is_pure_jvm_map(spark):
+    """Text ops that CAN be pure expressions must stay JVM-side: no
+    exchange, no Python evaluation, single whole-stage-codegen'able map."""
+    from html_sanitizer_spark.queries import q_pii_scrub
+
+    plan = _plan(q_pii_scrub(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
