@@ -475,8 +475,7 @@ def q_ngram_jaccard(spark, sf_dir):
     return j
 
 
-_ORACLE_NGRAM_JACCARD = """
-WITH d AS (SELECT * FROM documents WHERE len(text) >= 3 AND doc_id % 20 = 0),
+_NGRAM_CTES = """d AS (SELECT * FROM documents WHERE len(text) >= 3 AND doc_id % 20 = 0),
 sh_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-2, 1) + 1),
@@ -490,13 +489,81 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+  GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2)"""
+
+_ORACLE_NGRAM_JACCARD = f"""
+WITH {_NGRAM_CTES}
+SELECT doc_a, doc_b, jaccard FROM jac
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph — the clustering
+    stage of dedup (detect -> verify -> CLUSTER -> keep one per cluster).
+    Iterative min-label propagation to fixpoint: labels start as each
+    vertex's own id; every round each vertex takes the min label among
+    itself and its neighbors; converged when no label changes. Iteration
+    count is bounded by component diameter (near-dup clusters are shallow);
+    each round is one equi join + groupBy — the standard DataFrame CC shape
+    (GraphX/CCF-style) that holds at 100TB where the driver-side loop only
+    runs O(diameter) times. Oracle: DuckDB recursive CTE transitive
+    closure over the same edge set."""
+    pairs = (
+        q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc")).distinct()
+        .withColumn("root", F.col("doc"))
+        .persist()
+    )
+    for _ in range(30):
+        prop = edges.join(
+            labels, edges["doc_a"] == labels["doc"]
+        ).select(F.col("doc_b").alias("doc"), F.col("root"))
+        new_labels = (
+            labels.select("doc", "root").union(prop)
+            .groupBy("doc")
+            .agg(F.min("root").alias("root"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("root").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
+          UNION SELECT doc_b, doc_a FROM jac),
+verts AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, root) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc
+),
+labels AS (SELECT doc, min(root) AS root FROM reach GROUP BY doc)
+SELECT root AS cluster_id, count(*) AS n_members FROM labels GROUP BY root
 """
 
 
@@ -1381,6 +1448,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, _ORACLE_MINHASH_PAIRS),
     "ngram_jaccard": (q_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
     "dedup_verified": (q_dedup_verified, _ORACLE_DEDUP_VERIFIED),
+    "dedup_clusters": (q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
     "paragraph_dedup": (q_paragraph_dedup, _ORACLE_PARAGRAPH),
     "pii_scrub": (q_pii_scrub, _ORACLE_PII),
     "url_host_rollup": (q_url_host_rollup, _ORACLE_URL_HOST),
