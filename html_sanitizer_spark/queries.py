@@ -504,17 +504,15 @@ SELECT doc_a, doc_b, jaccard FROM jac
 """
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Connected components over the near-dup pair graph — the clustering
-    stage of dedup (detect -> verify -> CLUSTER -> keep one per cluster).
-    Iterative min-label propagation to fixpoint: labels start as each
-    vertex's own id; every round each vertex takes the min label among
+def _neardup_labels(spark, sf_dir) -> DataFrame:
+    """(doc, root) labels from connected components over the near-dup pair
+    graph. Iterative min-label propagation to fixpoint: labels start as
+    each vertex's own id; every round each vertex takes the min label among
     itself and its neighbors; converged when no label changes. Iteration
     count is bounded by component diameter (near-dup clusters are shallow);
     each round is one equi join + groupBy — the standard DataFrame CC shape
     (GraphX/CCF-style) that holds at 100TB where the driver-side loop only
-    runs O(diameter) times. Oracle: DuckDB recursive CTE transitive
-    closure over the same edge set."""
+    runs O(diameter) times."""
     pairs = (
         q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
     )
@@ -547,9 +545,16 @@ def q_dedup_clusters(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
-    return labels.groupBy(F.col("root").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
+    return labels
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster sizes (detect -> verify -> CLUSTER): see
+    _neardup_labels for the CC algorithm; oracle is a DuckDB recursive-CTE
+    transitive closure over the same edge set."""
+    return _neardup_labels(spark, sf_dir).groupBy(
+        F.col("root").alias("cluster_id")
+    ).agg(F.count(F.lit(1)).alias("n_members"))
 
 
 _ORACLE_DEDUP_CLUSTERS = f"""
@@ -564,6 +569,51 @@ reach(doc, root) AS (
 ),
 labels AS (SELECT doc, min(root) AS root FROM reach GROUP BY doc)
 SELECT root AS cluster_id, count(*) AS n_members FROM labels GROUP BY root
+"""
+
+
+def q_dedup_apply(spark, sf_dir):
+    """Final dedup decision over the FULL corpus: every non-root member of
+    a near-dup cluster is removed (keeper = cluster root = min doc_id
+    reachable), everything else survives. Left-anti join of the corpus
+    against the removal set — the exact shape a 100TB dedup job ships."""
+    d = _docs(spark, sf_dir)
+    removed = (
+        _neardup_labels(spark, sf_dir)
+        .filter(F.col("doc") != F.col("root"))
+        .select(F.col("doc").alias("doc_id"))
+    )
+    survivors = d.join(F.broadcast(removed), "doc_id", "left_anti")
+    return (
+        d.select(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(removed.select(F.count(F.lit(1)).alias("n_removed")))
+        .crossJoin(
+            survivors.select(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.sum("n_chars").alias("survivor_chars"),
+            )
+        )
+    )
+
+
+_ORACLE_DEDUP_APPLY = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
+          UNION SELECT doc_b, doc_a FROM jac),
+verts AS (SELECT DISTINCT a AS doc FROM edges),
+reach(doc, root) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc
+),
+labels AS (SELECT doc, min(root) AS root FROM reach GROUP BY doc),
+removed AS (SELECT doc AS doc_id FROM labels WHERE doc <> root),
+survivors AS (SELECT * FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM removed) AS n_removed,
+       (SELECT count(*) FROM survivors) AS n_survivors,
+       (SELECT sum(n_chars) FROM survivors)::BIGINT AS survivor_chars
 """
 
 
@@ -1449,6 +1499,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "ngram_jaccard": (q_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
     "dedup_verified": (q_dedup_verified, _ORACLE_DEDUP_VERIFIED),
     "dedup_clusters": (q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
+    "dedup_apply": (q_dedup_apply, _ORACLE_DEDUP_APPLY),
     "paragraph_dedup": (q_paragraph_dedup, _ORACLE_PARAGRAPH),
     "pii_scrub": (q_pii_scrub, _ORACLE_PII),
     "url_host_rollup": (q_url_host_rollup, _ORACLE_URL_HOST),
