@@ -26,8 +26,12 @@ __all__ = [
     "media_from_spans",
     "decode_media",
     "extract_features",
+    "resize_media",
+    "sample_frames",
     "deterministic_fake_decoder",
+    "deterministic_fake_resizer",
     "strict_decoder",
+    "strict_resizer",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -146,3 +150,121 @@ def extract_features(df: DataFrame, decoder=None) -> DataFrame:
         F.avg("n_frames").alias("avg_frames"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def strict_resizer(kind: str, payload: bytes, max_side: int) -> dict:
+    """Placeholder for a real resize kernel (PIL thumbnail / ffmpeg scale)."""
+    raise NotImplementedError(
+        f"media resize for kind={kind!r} requires codec libraries not "
+        "present in this environment"
+    )
+
+
+def deterministic_fake_resizer(kind: str, payload: bytes, max_side: int) -> dict:
+    """Test stand-in: scales the fake-decoded dims to fit max_side
+    (aspect-preserving integer math) and re-digests the payload, so batch
+    shape, binary-out columns, and determinism are exercised for real."""
+    d = deterministic_fake_decoder(kind, payload)
+    w, h = d["width"], d["height"]
+    scale_num, scale_den = (max_side, max(w, h)) if max(w, h) > max_side else (1, 1)
+    return {
+        "width": max(1, w * scale_num // scale_den),
+        "height": max(1, h * scale_num // scale_den),
+        "payload": hashlib.blake2b(
+            (payload or b"") + max_side.to_bytes(4, "big"), digest_size=32
+        ).digest(),
+    }
+
+
+def resize_media(
+    df: DataFrame,
+    max_side: int = 256,
+    resizer: Callable[[str, bytes, int], dict] | None = None,
+) -> DataFrame:
+    """mapInPandas resize stage: (media table) -> resized payloads + dims.
+
+    Value-independent per row (no co-location needed); at scale the only
+    tuning is bytes-per-batch (arrow maxRecordsPerBatch vs payload size)."""
+    kernel = resizer or strict_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "media_ref", "kind", "width", "height", "payload")}
+            for doc_id, ref, kind, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["kind"], pdf["payload"]
+            ):
+                r = kernel(kind, payload, max_side)
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                out["kind"].append(kind)
+                out["width"].append(r["width"])
+                out["height"].append(r["height"])
+                out["payload"].append(r["payload"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 8,
+    decoder: Callable[[str, bytes], dict] | None = None,
+) -> DataFrame:
+    """Frame sampling for video/audio media: decode the frame count, emit
+    one row per every_n-th frame (frame extraction itself is the stubbed
+    kernel). Two real Spark stages: a mapInPandas that emits the sampled
+    frame indexes per media row (fan-OUT — one input row becomes
+    ceil(n_frames/every_n) rows, which is why this is a mapInPandas and not
+    a UDF returning an array: a 10^5-frame video must not build one giant
+    in-memory array), then downstream per-frame work sees a flat table it
+    can repartition freely."""
+    kernel = decoder or strict_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "media_ref", "kind", "frame_idx", "frame_payload")}
+            for doc_id, ref, kind, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["kind"], pdf["payload"]
+            ):
+                if kind == "image":
+                    continue  # single-frame media: nothing to sample
+                n = kernel(kind, payload)["n_frames"]
+                for idx in range(0, n, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["kind"].append(kind)
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(
+                        hashlib.blake2b(
+                            (payload or b"") + idx.to_bytes(4, "big"),
+                            digest_size=16,
+                        ).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -202,3 +202,51 @@ def test_streaming_exploded_plan(spark, tmp_path):
     got = read_stream_output(spark, out_dir)
     assert got.count() == 30
     assert got.select("doc_id").distinct().count() == 30
+
+
+class TestMultimodalResizeAndFrames:
+    def test_resize_plumbing(self, spark):
+        from html_sanitizer_spark.functions.multimodal import (
+            deterministic_fake_resizer,
+            resize_media,
+            strict_resizer,
+        )
+
+        docs = synth_spans_df(spark, 40, seed=17, mega_every=0)
+        media = media_from_spans(docs)
+        n = media.count()
+        resized = resize_media(media, max_side=128,
+                               resizer=deterministic_fake_resizer)
+        rows = resized.collect()
+        assert len(rows) == n
+        assert all(max(r["width"], r["height"]) <= 128 for r in rows)
+        assert all(isinstance(bytes(r["payload"]), bytes) and len(r["payload"]) == 32
+                   for r in rows)
+        # deterministic
+        again = resize_media(media, max_side=128,
+                             resizer=deterministic_fake_resizer).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+        with pytest.raises(NotImplementedError):
+            strict_resizer("image", b"x", 128)
+
+    def test_frame_sampling_fan_out(self, spark):
+        from html_sanitizer_spark.functions.multimodal import (
+            deterministic_fake_decoder,
+            sample_frames,
+        )
+
+        docs = synth_spans_df(spark, 40, seed=17, mega_every=0)
+        media = media_from_spans(docs).cache()
+        frames = sample_frames(media, every_n=4,
+                               decoder=deterministic_fake_decoder)
+        rows = frames.collect()
+        # images contribute nothing; multi-frame media fan out by ceil(n/4)
+        assert rows and all(r["kind"] != "image" for r in rows)
+        assert all(r["frame_idx"] % 4 == 0 for r in rows)
+        per_media = {}
+        for r in rows:
+            per_media.setdefault(r["media_ref"], []).append(r["frame_idx"])
+        for ref, idxs in per_media.items():
+            n_frames = max(idxs) // 4 + 1
+            assert sorted(idxs) == [i * 4 for i in range(n_frames)], ref
+        media.unpersist()
