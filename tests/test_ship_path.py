@@ -1,0 +1,54 @@
+"""Ship-path smoke test: the north_rule names `spark-submit --py-files` as
+the deployment vehicle — run the real thing end to end: build the zip,
+submit the CLI driver from a NEUTRAL cwd (so all imports resolve from the
+zip, not the repo checkout), and check output + manifest + lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_py_files(spark, tmp_path):
+    from html_sanitizer_spark.pipeline.synth import synth_spans_df
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    synth_spans_df(spark, 30, seed=51, mega_every=0).write.parquet(in_dir)
+
+    zip_path = str(tmp_path / "hss.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "build_pyfiles.py"),
+         zip_path],
+        check=True, capture_output=True,
+    )
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[2]", "--py-files", zip_path,
+         os.path.join(REPO, "html_sanitizer_spark", "pipeline", "cli.py"),
+         "--input", in_dir, "--output", out_dir,
+         "--buckets", "2", "--salt", "4"],
+        capture_output=True, text=True, env=env, timeout=420,
+        cwd=str(tmp_path),  # neutral cwd: imports must come from the zip
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-3000:])
+
+    summary = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["buckets_done"] == [0, 1]
+    assert os.path.exists(os.path.join(out_dir, "_sanitize_manifest.json"))
+    got = spark.read.parquet(os.path.join(out_dir, "bucket=*"))
+    assert got.count() == 30
+    lineage = spark.read.parquet(os.path.join(out_dir, "_lineage", "bucket=*"))
+    assert lineage.count() > 0
