@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship sanitize pipeline on sf0.001;
-``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
-training-data operators; ``oracle_sql()`` gives the DuckDB-equivalent SQL
-for every SQL-expressible one (tree-engine and hash-sketch entries are
-rows-only by nature — see html_sanitizer_spark/queries.py docstrings).
+``queries()`` exposes every implemented operator from SURVEY.md §2/§2.11;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for all but two entries:
+``sanitize_text`` (the tree engine itself — correctness pinned by the
+112-pair golden replay instead) and ``multimodal_rollup`` (stubbed codec
+kernels). Everything else — including the seeded-hyperplane LSH, IVF, and
+iterative connected-components queries — is fully oracled via generated
+SQL (literal constants embedded / recursive CTEs).
 """
 
 from __future__ import annotations
