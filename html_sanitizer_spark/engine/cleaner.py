@@ -45,7 +45,10 @@ def _has_js_scheme(value: str) -> bool:
     flat = _FLATTEN_WS.sub("", urllib.parse.unquote_plus(value))
     safe_images = 0
     for image_type in _IMAGE_DATAURLS.findall(flat):
-        if "svg" in image_type.lower() or "script" in image_type.lower():
+        lowered = image_type.lower()
+        # lxml-html-clean's _is_unsafe_image_type treats any xml-flavored
+        # image type (svg+xml, foo+xml, ...) as script-capable
+        if "svg" in lowered or "xml" in lowered or "script" in lowered:
             return True  # script-capable "image" payload
         safe_images += 1
     return len(_MALICIOUS_SCHEMES.findall(flat)) > safe_images

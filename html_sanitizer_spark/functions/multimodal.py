@@ -72,8 +72,12 @@ def strict_decoder(kind: str, payload: bytes) -> dict:
 def deterministic_fake_decoder(kind: str, payload: bytes) -> dict:
     """Deterministic stand-in used by tests: derives plausible metadata and
     an 8-dim 'feature' from a digest of the payload, so the full Spark
-    plumbing (batching, schema, ordering) is exercised end to end."""
-    h = hashlib.blake2b(payload or b"", digest_size=16).digest()
+    plumbing (batching, schema, ordering) is exercised end to end.
+
+    The digest is md5 (VERDICT r02 #3): a portable hash a SQL engine also
+    has, so the multimodal rollup is fully DuckDB-oracled — byte k of the
+    digest is hex chars 2k..2k+1, replayable as strpos arithmetic."""
+    h = hashlib.md5(payload or b"").digest()
     return {
         "width": 64 + h[0],
         "height": 64 + h[1],

@@ -18,6 +18,7 @@ Two shapes:
 
 from __future__ import annotations
 
+import hashlib
 import uuid
 
 import pandas as pd
@@ -109,15 +110,19 @@ def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
 
     if memoize > 0:
         cache_size = memoize
-        # per-UDF unique key: id(settings) can be recycled by CPython after
-        # a GC, letting a long-lived worker serve entries cached under a
-        # DIFFERENT config (ADVICE r01) — a uuid per make_sanitize_udf call
-        # cannot collide
-        memo_key = uuid.uuid4().hex
+        # Deterministic per-CONFIG key (ADVICE r02): id(settings) can be
+        # recycled by CPython after a GC and a fresh uuid per
+        # make_sanitize_udf call leaks one never-evicted cache per UDF (a
+        # checkpointed run builds one UDF per bucket), so key the worker
+        # cache by a content fingerprint of (settings, memoize): every UDF
+        # built for the same config shares one bounded cache, and
+        # _worker_memo itself stays bounded by the number of distinct
+        # configs seen (capped below).
+        memo_key = _settings_fingerprint(settings_obj, memoize)
 
         @F.pandas_udf(T.StringType())
         def sanitize_batch_memo(texts: pd.Series) -> pd.Series:
-            cache = _worker_memo.setdefault(memo_key, {})
+            cache = _worker_cache(memo_key)
             out = []
             for t in texts:
                 if t is None:
@@ -145,9 +150,38 @@ def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
     return sanitize_batch
 
 
-# per-python-worker memo store, keyed by a per-UDF uuid (never recycled,
-# unlike id(settings))
+# per-python-worker memo store, keyed by a deterministic config fingerprint
 _worker_memo: dict = {}
+_WORKER_MEMO_MAX_CONFIGS = 8
+
+
+def _settings_fingerprint(settings_obj, memoize: int) -> str:
+    """Content hash of (settings, memoize), computed once driver-side.
+
+    Uses cloudpickle (the same serializer Spark ships the closure with), so
+    lambdas/processor callables hash by code, not by memory address: equal
+    configs collapse to one shared worker cache, different configs can never
+    collide. Falls back to a uuid (unique, unshared — always safe) for the
+    rare unpicklable settings object."""
+    try:
+        from pyspark import cloudpickle
+
+        payload = cloudpickle.dumps((settings_obj.__getstate__(), memoize))
+        return hashlib.sha256(payload).hexdigest()
+    except Exception:
+        return uuid.uuid4().hex
+
+
+def _worker_cache(memo_key: str) -> dict:
+    """Executor-side cache lookup with stale-config eviction: a long-lived
+    reused worker that has seen many distinct configs drops the old caches
+    rather than accumulating them (ADVICE r02)."""
+    cache = _worker_memo.get(memo_key)
+    if cache is None:
+        if len(_worker_memo) >= _WORKER_MEMO_MAX_CONFIGS:
+            _worker_memo.clear()
+        cache = _worker_memo[memo_key] = {}
+    return cache
 
 
 def make_span_array_udf(settings=None):
@@ -218,6 +252,13 @@ def sanitize_spans_arrow(df, settings=None):
                 else t
                 for k, t in zip(kinds.to_pylist(), texts.to_pylist())
             ]
+            # carry the element-level validity through the rebuild: without
+            # the mask a null span element would come back as a non-null
+            # struct of null fields (ADVICE r02), diverging from the input
+            # and from the pandas/exploded paths
+            elem_mask = (
+                pa.compute.is_null(values) if values.null_count else None
+            )
             new_values = pa.StructArray.from_arrays(
                 [
                     values.field("kind"),
@@ -226,6 +267,7 @@ def sanitize_spans_arrow(df, settings=None):
                     values.field("offset"),
                 ],
                 names=["kind", "text", "media_ref", "offset"],
+                mask=elem_mask,
             )
             null_mask = lst.is_null() if lst.null_count else None
             new_list = pa.ListArray.from_arrays(
