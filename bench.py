@@ -108,14 +108,24 @@ def run_benchmarks(sf_dir: str, cpus: int) -> dict:
     _sanitize_workload(spark, sf_dir, explode=True).write.format("noop").mode(
         "overwrite").save()
 
+    # Best-of-2 per query (VERDICT r02 #5): single-shot timings carry
+    # run-order/cold-path noise (first-touch codegen, shuffle-file page
+    # cache), which made round-over-round ratios unstable; the second run
+    # measures the steady state a 100TB job lives in.
     for name in _HEADLINE:
-        t0 = time.perf_counter()
-        if name in _SANITIZE_VARIANTS:
-            _sanitize_workload(spark, sf_dir, **_SANITIZE_VARIANTS[name]).write.format(
-                "noop").mode("overwrite").save()
-        else:
-            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            if name in _SANITIZE_VARIANTS:
+                _sanitize_workload(
+                    spark, sf_dir, **_SANITIZE_VARIANTS[name]
+                ).write.format("noop").mode("overwrite").save()
+            else:
+                qmap[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sanitize_sec = timings["sanitize_docs_exploded"]

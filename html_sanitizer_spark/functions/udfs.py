@@ -202,6 +202,9 @@ def make_span_array_udf(settings=None):
                 return None
             out = []
             for s in spans:
+                if s is None:  # null span element: preserve, don't rebuild
+                    out.append(None)
+                    continue
                 # Arrow hands array<struct> values to pandas as dicts (or
                 # Rows); normalize access defensively.
                 get = s.get if isinstance(s, dict) else lambda k, _s=s: _s[k]

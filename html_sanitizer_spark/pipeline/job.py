@@ -88,7 +88,11 @@ def sanitize_exploded(
     return exploded.select(
         "doc_id",
         "pos",
-        F.when(F.col("pos").isNotNull(), new_span).alias("span"),
+        # null-span guard covers both the posexplode_outer empty-doc row
+        # (pos null too) and a null ELEMENT inside a spans array (pos set):
+        # either stays null instead of being rebuilt as a struct of null
+        # fields, matching the arrow/pandas nested paths (ADVICE r02)
+        F.when(F.col("span").isNotNull(), new_span).alias("span"),
         err.alias("span_error"),
     )
 

@@ -225,3 +225,17 @@ def test_frozenset_rejected_like_reference():
     isinstance(frozenset(), set) is False (sanitizer.py:194-199)."""
     with pytest.raises(TypeError, match="Expected a set but got"):
         Settings({"tags": frozenset({"p"})})
+
+
+def test_xml_image_dataurls_are_script_capable():
+    """lxml-html-clean's _is_unsafe_image_type flags any xml-flavored
+    data:image type ((?:xml|svg)); foo+xml payloads must be neutralized
+    exactly like svg+xml (ADVICE r02)."""
+    from html_sanitizer_spark.configs import settings_for
+
+    s = settings_for("img")  # src is not covered by the href policy
+    for image_type in ("svg+xml", "foo+xml", "xmlish"):
+        out = sanitize(f'<img src="data:image/{image_type};base64,AAAA">', s)
+        assert "data:" not in out, (image_type, out)
+    safe = sanitize('<img src="data:image/png;base64,AAAA">', s)
+    assert "data:image/png" in safe, safe

@@ -132,3 +132,50 @@ def test_nested_pandas_and_arrow_agree(spark):
     rows_p = {r["doc_id"]: r["spans"] for r in p.collect()}
     assert rows_a == rows_p
     df.unpersist()
+
+
+def test_nested_plan_rejects_exploded_only_knobs(spark, doc):
+    """on_error/memoize only exist on the exploded plan; an explicit nested
+    run must fail loudly instead of silently reverting to raise-semantics
+    (ADVICE r02)."""
+    with pytest.raises(ValueError, match="exploded"):
+        sanitize_spans(spark, doc, explode=False, on_error="keep")
+    with pytest.raises(ValueError, match="exploded"):
+        sanitize_spans(spark, doc, explode=False, memoize=10)
+
+
+def test_auto_plan_with_knobs_resolves_exploded(spark, poison, doc):
+    """explode='auto' + on_error must pick the exploded plan (the only one
+    honoring the policy), not drop the knob based on the skew probe."""
+    spans = sanitize_spans(spark, doc, explode="auto", on_error="keep",
+                           salt_buckets=2).collect()[0]["spans"]
+    assert any("BOOM" in (s["text"] or "") for s in spans)
+
+
+def test_null_span_element_preserved_on_all_paths(spark):
+    """A null element inside a spans array must come back null — not a
+    struct of null fields — on the arrow, pandas, and exploded paths alike
+    (ADVICE r02)."""
+    from html_sanitizer_spark.functions.udfs import (
+        make_span_array_udf,
+        sanitize_spans_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [{"doc_id": "d", "spans": [
+            None,
+            {"kind": "text", "text": "<b>x</b>", "media_ref": "", "offset": 1},
+        ]}],
+        schema=DOC_SCHEMA,
+    )
+    expected = [None, ("text", "<strong>x</strong>", "", 1)]
+
+    def spans_of(out):
+        row = out.collect()[0]["spans"]
+        return [None if s is None else tuple(s) for s in row]
+
+    assert spans_of(sanitize_spans_arrow(df)) == expected
+    udf = make_span_array_udf()
+    assert spans_of(df.select("doc_id", udf("spans").alias("spans"))) == expected
+    assert spans_of(sanitize_spans(spark, df, explode=True,
+                                   salt_buckets=2)) == expected

@@ -250,3 +250,48 @@ class TestMultimodalResizeAndFrames:
             n_frames = max(idxs) // 4 + 1
             assert sorted(idxs) == [i * 4 for i in range(n_frames)], ref
         media.unpersist()
+
+
+class TestWorkerMemoKeying:
+    """ADVICE r02: the per-worker memo is keyed by a deterministic config
+    fingerprint — equal configs share one cache (a checkpointed run builds
+    one UDF per bucket), different configs never collide, and the store
+    itself stays bounded."""
+
+    def test_fingerprint_deterministic_per_config(self):
+        from html_sanitizer_spark.configs import settings_for
+        from html_sanitizer_spark.engine.settings import Settings
+        from html_sanitizer_spark.functions.udfs import _settings_fingerprint
+
+        a = _settings_fingerprint(Settings({}), 100)
+        b = _settings_fingerprint(Settings({}), 100)  # distinct objects
+        assert a == b
+        assert _settings_fingerprint(Settings({}), 200) != a
+        assert _settings_fingerprint(settings_for("nofollow"), 100) != a
+
+    def test_worker_store_evicts_stale_configs(self):
+        from html_sanitizer_spark.functions import udfs
+
+        udfs._worker_memo.clear()
+        try:
+            for i in range(udfs._WORKER_MEMO_MAX_CONFIGS):
+                udfs._worker_cache(f"cfg{i}")["x"] = i
+            assert len(udfs._worker_memo) == udfs._WORKER_MEMO_MAX_CONFIGS
+            # existing key: no eviction
+            assert udfs._worker_cache("cfg0") == {"x": 0}
+            # new key past the cap: stale configs dropped, store stays bounded
+            udfs._worker_cache("cfg_new")["x"] = 99
+            assert len(udfs._worker_memo) == 1
+            assert udfs._worker_cache("cfg_new") == {"x": 99}
+        finally:
+            udfs._worker_memo.clear()
+
+    def test_memoized_udf_still_correct_through_spark(self, spark):
+        from html_sanitizer_spark.functions.udfs import make_sanitize_udf
+
+        udf = make_sanitize_udf(None, memoize=100)
+        df = spark.createDataFrame(
+            [("<b>x</b>",)] * 10 + [("<i>y</i>",)] * 10, ["html"]
+        )
+        got = {r["clean"] for r in df.select(udf("html").alias("clean")).collect()}
+        assert got == {"<strong>x</strong>", "<em>y</em>"}

@@ -127,3 +127,65 @@ def test_pii_scrub_is_pure_jvm_map(spark):
     plan = _plan(q_pii_scrub(spark, SF))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def _no_hint_plan(spark, build):
+    """Plan with AQE + size-based broadcast disabled: any BroadcastExchange
+    left can only come from an explicit F.broadcast hint."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _plan(build())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_dedup_tail_never_forces_per_document_broadcasts(spark):
+    """VERDICT r02 #2: the dedup tail joins per-DOCUMENT-sized tables
+    (shingle sizes, the removal set) — O(corpus) at web scale. No static
+    broadcast hint may survive; AQE alone decides at runtime."""
+    from html_sanitizer_spark.queries import (
+        _neardup_labels,
+        q_dedup_verified,
+        q_ngram_jaccard,
+    )
+
+    assert "BroadcastExchange" not in _no_hint_plan(
+        spark, lambda: q_dedup_verified(spark, SF)
+    )
+    assert "BroadcastExchange" not in _no_hint_plan(
+        spark, lambda: q_ngram_jaccard(spark, SF)
+    )
+
+    # dedup_apply shape: corpus anti-join against the removal set
+    def apply_shape():
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], ["doc_a", "doc_b"]
+        )
+        removed = (
+            _neardup_labels(spark, SF, pairs=pairs)
+            .filter(F.col("doc") != F.col("root"))
+            .select(F.col("doc").alias("doc_id"))
+        )
+        return docs.join(removed, "doc_id", "left_anti")
+
+    assert "BroadcastExchange" not in _no_hint_plan(spark, apply_shape)
+
+
+def test_no_rdd_conversion_in_query_build(spark, monkeypatch):
+    """VERDICT r02 #8: building any registry query must not convert a
+    DataFrame to an RDD (the old _spread probe did, forcing a plan
+    conversion per query build)."""
+    from pyspark.sql import DataFrame
+
+    from html_sanitizer_spark.queries import spark_queries
+
+    def boom(self):
+        raise AssertionError("DataFrame.rdd used in a query build path")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    for name, fn in spark_queries().items():
+        df = fn(spark, SF)
+        assert df.columns, name
