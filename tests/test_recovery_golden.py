@@ -1,0 +1,96 @@
+"""Hand-pinned recovery golden cases (VERDICT r02 #7).
+
+The 112 vendored golden pairs pin the reference's documented behavior; this
+module pins the ENGINE's recovery on the security-relevant tag-soup classes
+(CDATA, conditional comments, foreign content, RCDATA, unterminated
+attributes) by exact equality, not just by property. Each expected output
+was derived by hand from the HTML5 tokenizer rules the parser implements
+and reviewed for the security contract (no executable context, no handler
+attribute, no script/style payload may survive):
+
+- ``<![CDATA[`` in HTML is a bogus comment ending at the first ``>`` — the
+  ``<script`` token is swallowed by it, so ``x()`` is inert TEXT (no script
+  element ever exists) and the ``]]>`` remainder is escaped text.
+- Conditional comments are comments: their entire payload (including
+  ``<script>``) vanishes with them.
+- svg/math are not allowed tags -> strict-unwrapped (content kept, handler
+  attributes dropped with the tags); svg's element children unwrap to
+  nothing, math's text survives.
+- script/style are KILL tags: element AND text payload go away, including
+  attribute-quote trickery (``src=x>var a='</p>';``).
+- textarea is RCDATA: its inner markup is text and must come back
+  entity-escaped, never as elements.
+- numeric references to surrogates / out-of-range / NUL decode to U+FFFD.
+- an unterminated quoted attribute swallows to EOF (HTML5 attribute-value
+  state), leaving an empty <p> that the empty-element drop removes.
+
+A change to any of these outputs is a parser/cleaner behavior change and
+must be reviewed as such — these are equality contracts, not properties.
+"""
+
+from __future__ import annotations
+
+from html_sanitizer_spark.engine.core import sanitize
+from html_sanitizer_spark.engine.settings import Settings
+
+_SETTINGS = Settings()
+
+RECOVERY_GOLDEN = [
+    # (hostile input, expected sanitized output)
+    ("<![CDATA[ <script>x()</script> ]]>after", "x() ]]&gt;after"),
+    ("<!--[if IE]><script>evil()</script><![endif]--><p>safe</p>",
+     "<p>safe</p>"),
+    ("<!-- comment --><p>x</p><!-->", "<p>x</p>"),
+    ("<svg onload=alert(1)><circle r='1'/></svg>text", "text"),
+    ("<math><mi>x</mi><annotation-xml><p>y</p></annotation-xml></math>",
+     "x<p>y</p>"),
+    ("<script src=x>var a='</p>';</script><p>after script</p>",
+     "<p>after script</p>"),
+    ("<style>p{color:red}</style><p>after style</p>", "<p>after style</p>"),
+    ("<textarea><p>inside</p></textarea>", "&lt;p&gt;inside&lt;/p&gt;"),
+    ("<p>&#xD800;&#x110000;&#0;bad refs</p>",
+     "<p>���bad refs</p>"),
+    ("<!DOCTYPE html><?php echo 1 ?><p>y</p>", "<p>y</p>"),
+    ("<a href='/x'><a href='/y'>double anchor</a></a>",
+     '<a href="/x"></a><a href="/y">double anchor</a>'),
+    ("<p title='unterminated>x</p><p>next</p>", ""),
+]
+
+
+def test_recovery_golden_equality():
+    for html, expected in RECOVERY_GOLDEN:
+        assert sanitize(html, _SETTINGS) == expected, html
+
+
+def test_recovery_golden_idempotent_from_first_pass():
+    """These pinned outputs are already fixpoints: a second sanitize pass
+    must be byte-identical (stronger than the corpus-wide second-pass
+    property)."""
+    for html, expected in RECOVERY_GOLDEN:
+        assert sanitize(expected, _SETTINGS) == expected, html
+
+
+def test_recovery_golden_through_spark_both_plans(spark):
+    """The pinned recovery outputs hold through the full pipeline on both
+    physical plans (exploded+salted+reassembled, nested single-UDF)."""
+    from html_sanitizer_spark.pipeline.job import sanitize_spans
+    from html_sanitizer_spark.pipeline.synth import DOC_SCHEMA
+
+    rows = [
+        {"doc_id": f"rg{i}", "spans": [
+            {"kind": "image", "text": "", "media_ref": f"m://{i}", "offset": 0},
+            {"kind": "text", "text": html, "media_ref": "", "offset": 1},
+        ]}
+        for i, (html, _) in enumerate(RECOVERY_GOLDEN)
+    ]
+    df = spark.createDataFrame(rows, schema=DOC_SCHEMA)
+    for explode in (True, False):
+        got = {
+            r["doc_id"]: r["spans"]
+            for r in sanitize_spans(spark, df, explode=explode,
+                                    salt_buckets=4).collect()
+        }
+        for i, (html, expected_text) in enumerate(RECOVERY_GOLDEN):
+            spans = got[f"rg{i}"]
+            assert spans[0]["media_ref"] == f"m://{i}"
+            assert spans[1]["text"] == expected_text, (explode, html)
