@@ -108,24 +108,30 @@ def run_benchmarks(sf_dir: str, cpus: int) -> dict:
     _sanitize_workload(spark, sf_dir, explode=True).write.format("noop").mode(
         "overwrite").save()
 
-    # Best-of-2 per query (VERDICT r02 #5): single-shot timings carry
-    # run-order/cold-path noise (first-touch codegen, shuffle-file page
-    # cache), which made round-over-round ratios unstable; the second run
-    # measures the steady state a 100TB job lives in.
-    for name in _HEADLINE:
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            if name in _SANITIZE_VARIANTS:
-                _sanitize_workload(
-                    spark, sf_dir, **_SANITIZE_VARIANTS[name]
-                ).write.format("noop").mode("overwrite").save()
-            else:
-                qmap[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+    # Best-of-2 per query, measured as two INTERLEAVED full passes
+    # (VERDICT r02 #5): single-shot timings carry run-order/cold-path noise
+    # (first-touch codegen, shuffle-file page cache), and back-to-back
+    # repeats of one query land both samples inside the same co-tenant
+    # throttle window on this shared host; interleaving the passes puts a
+    # given throttle window on DIFFERENT queries in each pass, so the
+    # per-query min is the clean steady-state number a 100TB job lives in.
+    def _run_one(name):
+        t0 = time.perf_counter()
+        if name in _SANITIZE_VARIANTS:
+            _sanitize_workload(
+                spark, sf_dir, **_SANITIZE_VARIANTS[name]
+            ).write.format("noop").mode("overwrite").save()
+        else:
+            qmap[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+        return time.perf_counter() - t0
+
+    for _pass in range(2):
+        for name in _HEADLINE:
+            dt = _run_one(name)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {name: round(dt, 3) for name, dt in timings.items()}
 
     total = round(sum(timings.values()), 3)
     sanitize_sec = timings["sanitize_docs_exploded"]
