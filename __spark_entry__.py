@@ -2,12 +2,13 @@
 
 ``entry(spark)`` runs the flagship sanitize pipeline on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2/§2.11;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for all but two entries:
+``oracle_sql()`` gives the DuckDB-equivalent SQL for all but ONE entry:
 ``sanitize_text`` (the tree engine itself — correctness pinned by the
-112-pair golden replay instead) and ``multimodal_rollup`` (stubbed codec
-kernels). Everything else — including the seeded-hyperplane LSH, IVF, and
-iterative connected-components queries — is fully oracled via generated
-SQL (literal constants embedded / recursive CTEs).
+112-pair golden replay instead, the correctly-non-SQL case). Everything
+else — including the seeded-hyperplane LSH, IVF, iterative
+connected-components, and the multimodal decode rollup (md5-replayable
+fake kernel through real mapInPandas plumbing) — is fully oracled via
+generated SQL (literal constants embedded / recursive CTEs): 31 of 32.
 """
 
 from __future__ import annotations
