@@ -1547,6 +1547,121 @@ _ORACLE_ANN_IVF = _ivf_oracle_sql()
 _ORACLE_ANN_LSH = _lsh_oracle_sql()
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-data hygiene stage): score each
+    training document by its distinct-5-gram overlap against a held-out
+    eval set (here: the deterministic doc_id % 97 subset standing in for a
+    benchmark corpus); contamination = |doc ∩ eval| / |doc|, flagged at
+    >= 0.5. Relational shape that holds at 100TB: the eval shingle set is
+    DISTINCT on the join key, so every shingle has multiplicity 1 on the
+    eval side — the overlap join is linear in the training shingle volume,
+    never quadratic, and needs no hot-key cap. No broadcast hint on the
+    eval side (O(eval corpus)); AQE decides."""
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 5)
+    is_eval = F.col("doc_id") % 97 == 0
+    gram5 = F.array_distinct(
+        F.expr("transform(sequence(1, greatest(length(text)-4, 1)),"
+               " i -> substring(text, i, 5))")
+    )
+    eval_sh = (
+        d.filter(is_eval)
+        .select(F.explode(gram5).alias("shingle"))
+        .distinct()
+    )
+    train_sh = _spread(spark, d.filter(~is_eval)).select(
+        "doc_id", F.explode(gram5).alias("shingle")
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    contamination = F.round(F.col("n_hit") / F.col("n_sh"), 4)
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce(contamination, F.lit(0.0)).alias("contamination"),
+            F.when(F.coalesce(contamination, F.lit(0.0)) >= 0.5, 1)
+            .otherwise(0)
+            .alias("is_contaminated"),
+        )
+    )
+
+
+_ORACLE_DECONTAMINATE = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 5),
+esh AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(text)-4, 1) + 1),
+                                        i -> substr(text, i, 5))) AS shingle
+  FROM d WHERE doc_id % 97 = 0),
+tsh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-4, 1) + 1),
+                                         i -> substr(text, i, 5))) AS shingle
+    FROM d WHERE doc_id % 97 <> 0)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+hits AS (SELECT t.doc_id, count(*) AS n_hit
+         FROM tsh t JOIN esh USING (shingle) GROUP BY t.doc_id)
+SELECT s.doc_id, s.n_sh,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       coalesce(round(h.n_hit / s.n_sh, 4), 0.0) AS contamination,
+       CASE WHEN coalesce(round(h.n_hit / s.n_sh, 4), 0.0) >= 0.5
+            THEN 1 ELSE 0 END AS is_contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+def q_seq_packing(spark, sf_dir):
+    """Training-sequence packing (concat-and-chunk, GPT-style): documents
+    are concatenated in doc_id order and cut into fixed 512-token
+    sequences; each doc reports its sequence id, offset, and whether it
+    straddles a cut. Scale shape: packing is SHARD-LOCAL — the running
+    token total is a window partitioned by a shard key (doc_id % 8 here;
+    shard count scales with the cluster), never a global single-partition
+    sort. Cross-shard sequence ids namespace as (shard, seq_in_shard)."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    t = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor(start / 512).cast("long").alias("seq_in_shard"),
+        (start % 512).cast("long").alias("tok_offset_in_seq"),
+        F.when(F.floor((F.col("cum") - 1) / 512) > F.floor(start / 512), 1)
+        .otherwise(0)
+        .alias("crosses_boundary"),
+    )
+
+
+_ORACLE_SEQ_PACKING = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE n_chars > 0),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+  FROM t)
+SELECT doc_id, shard, n_tok::BIGINT AS n_tok,
+       ((cum - n_tok) // 512)::BIGINT AS seq_in_shard,
+       ((cum - n_tok) % 512)::BIGINT AS tok_offset_in_seq,
+       CASE WHEN (cum - 1) // 512 > (cum - n_tok) // 512
+            THEN 1 ELSE 0 END AS crosses_boundary
+FROM c
+"""
+
+
 def q_multimodal_rollup(spark, sf_dir):
     """Multimodal decode plumbing over media spans derived from the driver
     documents. Fully oracled (VERDICT r02 #3): the deterministic test
@@ -1645,6 +1760,8 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "ann_lsh_topk": (q_ann_lsh, _ORACLE_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, _ORACLE_ANN_IVF),
     "multimodal_rollup": (q_multimodal_rollup, _ORACLE_MULTIMODAL),
+    "decontaminate": (q_decontaminate, _ORACLE_DECONTAMINATE),
+    "seq_packing": (q_seq_packing, _ORACLE_SEQ_PACKING),
 }
 
 

@@ -158,6 +158,13 @@ def test_dedup_tail_never_forces_per_document_broadcasts(spark):
         spark, lambda: q_ngram_jaccard(spark, SF)
     )
 
+    # decontaminate joins the O(eval-corpus) shingle set: AQE-only too
+    from html_sanitizer_spark.queries import q_decontaminate
+
+    assert "BroadcastExchange" not in _no_hint_plan(
+        spark, lambda: q_decontaminate(spark, SF)
+    )
+
     # dedup_apply shape: corpus anti-join against the removal set
     def apply_shape():
         docs = spark.read.parquet(f"{SF}/documents.parquet")
