@@ -306,20 +306,30 @@ def q_dedup_minhash(spark, sf_dir):
     shingle->minhash->band->bucket pipeline, portable because the hash is
     md5. One digest per shingle; the 8 'permutations' are 8 overlapping
     8-hex-char windows of it (distinct min-wise orderings, 8x cheaper than
-    8 keyed digests)."""
+    8 keyed digests).
+
+    Entirely MAP-SIDE (reworked r03): the per-doc shingle digests stay an
+    array column and each signature is an array_min over a transform — no
+    explode, no hash-aggregate shuffle. The r02 shape exploded to one row
+    per shingle occurrence and shuffled ~len(text) rows per document just
+    to take 8 mins; at 100TB that shuffle dwarfed the band join this feeds.
+    min over the occurrence multiset equals min over the shingle set, so
+    the signature is unchanged (parity-gated against the exploded oracle)."""
     d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 3))
-    sh = d.select(
+    hashed = d.select(
         "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, greatest(length(text)-2, 1)),"
-                   " i -> substring(text, i, 3))")
-        ).alias("shingle"),
-    ).select("doc_id", F.md5(F.col("shingle")).alias("h"))
-    aggs = [
-        F.min(F.substring(F.col("h"), 3 * j + 1, 8)).alias(f"sig{j}")
-        for j in range(8)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+        F.expr("transform(sequence(1, greatest(length(text)-2, 1)),"
+               " i -> md5(substring(text, i, 3)))").alias("hs"),
+    )
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(hs, h -> substring(h, {3 * j + 1}, 8))")
+            ).alias(f"sig{j}")
+            for j in range(8)
+        ],
+    )
     bands = sigs.select(
         "doc_id",
         *[
@@ -1123,19 +1133,35 @@ FROM documents
 
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprint: 5-gram digests, min per 5-wide
-    rolling window, count distinct fingerprints per doc."""
+    rolling window, count distinct fingerprints per doc.
+
+    Entirely MAP-SIDE (reworked r03): the gram digests stay an array
+    column; the rolling min is a transform-with-index over array slices and
+    the rollup is size(array_distinct(...)) — no posexplode, no per-doc
+    window shuffle, no final groupBy. The r02 shape shuffled one row per
+    gram (≈ len(text) rows/doc) twice (window + count_distinct). The
+    trade: a document's whole fingerprint pass runs on one core — the same
+    locality the per-doc window had, without the two exchanges; bounded by
+    the documents table's page-sized texts (a 100MB outlier doc would want
+    the exploded variant back)."""
     d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 5))
     grams = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr("transform(sequence(1, greatest(length(text)-4, 1)),"
-                   " i -> md5(substring(text, i, 5)))")
-        ).alias("pos", "h"),
+        F.expr("transform(sequence(1, greatest(length(text)-4, 1)),"
+               " i -> md5(substring(text, i, 5)))").alias("hs"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
-    fp = grams.withColumn("fp", F.min("h").over(w))
-    return fp.groupBy("doc_id").agg(
-        F.count_distinct("fp").alias("n_fingerprints")
+    # 0-based transform index i covers 1-based gram positions
+    # [max(1, i-3) .. i+1]: a slice of length min(i+1, 5)
+    fps = grams.select(
+        "doc_id",
+        F.expr(
+            "transform(hs, (h, i) ->"
+            " array_min(slice(hs, greatest(i - 3, 1), least(i + 1, 5))))"
+        ).alias("fps"),
+    )
+    return fps.select(
+        "doc_id",
+        F.size(F.array_distinct("fps")).cast("long").alias("n_fingerprints"),
     )
 
 
