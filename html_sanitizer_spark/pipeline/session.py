@@ -30,6 +30,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{parallelism}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin event-time semantics: window()/date_trunc alignment must not
+        # depend on the host's JVM timezone (and the DuckDB oracles replay
+        # timestamps as naive UTC)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1573,6 +1573,36 @@ _ORACLE_ANN_IVF = _ivf_oracle_sql()
 _ORACLE_ANN_LSH = _lsh_oracle_sql()
 
 
+def q_event_window_rollup(spark, sf_dir):
+    """Event-time tumbling-window rollup (the batch twin of the streaming
+    watermarked aggregation in streaming/stream_job.py): per (1-day window,
+    event_type) counts and value sums over the events table. F.window is
+    the same operator Structured Streaming ages out with a watermark, so
+    the batch and streaming rollups share semantics; alignment is
+    deterministic because the session timezone is pinned to UTC."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_ORACLE_EVENT_WINDOW = """
+SELECT date_trunc('day', ts) AS day_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-data hygiene stage): score each
     training document by its distinct-5-gram overlap against a held-out
@@ -1788,6 +1818,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "multimodal_rollup": (q_multimodal_rollup, _ORACLE_MULTIMODAL),
     "decontaminate": (q_decontaminate, _ORACLE_DECONTAMINATE),
     "seq_packing": (q_seq_packing, _ORACLE_SEQ_PACKING),
+    "event_window_rollup": (q_event_window_rollup, _ORACLE_EVENT_WINDOW),
 }
 
 

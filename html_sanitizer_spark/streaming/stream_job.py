@@ -25,6 +25,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline.job import sanitize_spans
@@ -32,10 +34,23 @@ from ..pipeline.synth import DOC_SCHEMA
 
 __all__ = [
     "stream_sanitize_parquet_dir",
+    "stream_event_window_rollup",
     "start_stream",
     "write_epoch",
     "read_stream_output",
+    "EVENT_SCHEMA",
 ]
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def write_epoch(out: DataFrame, output_dir: str, epoch_id: int) -> None:
@@ -83,6 +98,48 @@ def stream_sanitize_parquet_dir(
 
     writer = (
         src.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_window_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Stateful streaming: event-time tumbling-window counts with a
+    watermark (the batch twin is queries.q_event_window_rollup).
+
+    This is the bounded-state shape for an unbounded feed: the watermark
+    lets the state store age out windows older than (max event time seen -
+    ``watermark``), and append mode emits each (window, event_type) row
+    exactly once, when its window closes. Events arriving later than the
+    watermark are DROPPED by contract — the property the test pins. At
+    100TB-feed scale the only tuning is the watermark delay (state size =
+    windows kept open) and shuffle partitions for the groupBy; the state
+    store itself is per-partition and scales with executors. The watermark
+    persists in the checkpoint, so availableNow re-runs continue aging
+    correctly across job restarts."""
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("day_start"), "event_type", "n_events"
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_once:
