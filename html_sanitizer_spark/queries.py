@@ -1603,6 +1603,59 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming sessionizer in streaming/sessionize.py): a new session starts
+    when a user's inter-event gap exceeds 30 minutes; one output row per
+    session with its bounds and event count. Shape at scale: both windows
+    are partitioned by user_id (sessionization is user-local by
+    definition), so the shuffle is one hash exchange on the session key —
+    no global ordering anywhere."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet reads ts as TIMESTAMP_NTZ; route through timestamp for epoch
+    # math (session tz pinned to UTC, so the epoch matches the oracle's)
+    sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    gap = sec(F.col("ts")) - sec(F.lag("ts").over(w))
+    sess = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        (
+            F.max("ts").cast("timestamp").cast("long")
+            - F.min("ts").cast("timestamp").cast("long")
+        ).alias("duration_sec"),
+    )
+
+
+_ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g)
+SELECT user_id, sess_id::BIGINT AS sess_id, count(*) AS n_events,
+       min(ts) AS sess_start, max(ts) AS sess_end,
+       (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_sec
+FROM s GROUP BY user_id, sess_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-data hygiene stage): score each
     training document by its distinct-5-gram overlap against a held-out
@@ -1819,6 +1872,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "decontaminate": (q_decontaminate, _ORACLE_DECONTAMINATE),
     "seq_packing": (q_seq_packing, _ORACLE_SEQ_PACKING),
     "event_window_rollup": (q_event_window_rollup, _ORACLE_EVENT_WINDOW),
+    "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
 }
 
 

@@ -1,0 +1,79 @@
+"""Custom stateful streaming (applyInPandasWithState): gap sessionization.
+
+Pins the contract of streaming/sessionize.py:
+- a session closes (and is emitted exactly once) when the watermark passes
+  its last event + gap — the event-time timeout path;
+- a gap INSIDE one batch splits sessions immediately, without waiting for
+  the watermark;
+- state survives checkpointed availableNow re-runs;
+- sessions that could still be extended are never emitted.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from html_sanitizer_spark.streaming.sessionize import stream_sessionize
+from html_sanitizer_spark.streaming.stream_job import EVENT_SCHEMA
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        [
+            {"event_id": i, "ts": ts, "user_id": uid,
+             "event_type": "e", "value": 1.0, "props": "{}"}
+            for i, (uid, ts) in enumerate(rows)
+        ],
+        schema=EVENT_SCHEMA,
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, in_dir, out_dir, ckpt):
+    q = stream_sessionize(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+
+def test_stream_sessionize_event_time_timeouts(spark, tmp_path):
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    d = datetime
+
+    # run 1: user 1 has a 2-event session; user 5 has a 2-hour IN-BATCH gap
+    # (must split locally into two sessions); user 2 advances the watermark
+    _write_events(spark, in_dir, [
+        (1, d(2024, 1, 1, 10, 0)),
+        (1, d(2024, 1, 1, 10, 10)),
+        (5, d(2024, 1, 1, 9, 0)),
+        (5, d(2024, 1, 1, 11, 0)),
+        (2, d(2024, 1, 1, 13, 0)),
+    ])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    # run 2: user 3 appears, watermark moves to 14:00 -> user 1's session
+    # (timeout 10:40) and user 5's second session (timeout 11:30) close
+    _write_events(spark, in_dir, [(3, d(2024, 1, 1, 14, 0))])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    # run 3: user 4 appears, watermark moves to 18:00 -> user 2 closes;
+    # user 4's own timeout (18:30) stays ahead of every watermark seen
+    _write_events(spark, in_dir, [(4, d(2024, 1, 1, 18, 0))])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).collect()
+    sessions = {}
+    for r in rows:
+        sessions.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["sess_start"].strftime("%H:%M"),
+             r["duration_sec"])
+        )
+    for v in sessions.values():
+        v.sort(key=lambda t: t[1])
+
+    assert sessions[1] == [(2, "10:00", 600)]
+    assert sessions[2] == [(1, "13:00", 0)]
+    # the in-batch gap split: two single-event sessions for user 5
+    assert sessions[5] == [(1, "09:00", 0), (1, "11:00", 0)]
+    # user 4's session could still be extended -> must not be emitted
+    assert 4 not in sessions
+    # exactly-once: no duplicate session rows
+    assert len(rows) == sum(len(v) for v in sessions.values())
