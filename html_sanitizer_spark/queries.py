@@ -1771,6 +1771,84 @@ FROM c
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (the reproducible-subset
+    stage every training pipeline needs): per-language rates applied via a
+    content-stable hash threshold — md5(doc_id) first 8 hex chars as a
+    uniform 32-bit draw — so the sample is identical across runs, clusters,
+    and engines (no RNG, no TABLESAMPLE nondeterminism). Map-side only: a
+    filter the scan can pipeline; the rollup here just audits achieved
+    rates per stratum."""
+    d = _docs(spark, sf_dir)
+    # 'en' kept at 25%, everything else at 50% (upsampling the tail langs)
+    rate = F.when(F.col("lang") == "en", 0.25).otherwise(0.50)
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                  16, 10).cast("double") / F.lit(float(2 ** 32))
+    return (
+        d.withColumn("kept", F.when(draw < rate, 1).otherwise(0))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias(
+                "achieved_rate"
+            ),
+        )
+    )
+
+
+_ORACLE_STRATIFIED = """
+WITH k AS (
+  SELECT lang,
+         CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+                    / 4294967296.0)
+                   < (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.50 END)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents)
+SELECT lang, count(*) AS n_docs, sum(kept)::BIGINT AS n_sampled,
+       round(sum(kept) / count(*), 4) AS achieved_rate
+FROM k GROUP BY lang
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (tokenizer-training input): top-20 lowercase
+    word tokens by document frequency with collection frequency alongside.
+    Shape at scale: explode -> per-doc distinct -> one hash groupBy; the
+    top-k is a single 20-row ordered take, not a global sort of the vocab
+    (Spark plans orderBy+limit as TakeOrderedAndProject)."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    stats = (
+        tok.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+    )
+    return (
+        stats.orderBy(F.desc("df"), F.desc("cf"), F.asc("w"))
+        .limit(20)
+        .select("w", "df", "cf")
+    )
+
+
+_ORACLE_VOCAB = """
+WITH tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents WHERE n_chars > 0)
+  WHERE w <> '')
+SELECT w, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM tok GROUP BY w
+ORDER BY df DESC, cf DESC, w ASC LIMIT 20
+"""
+
+
 def q_multimodal_rollup(spark, sf_dir):
     """Multimodal decode plumbing over media spans derived from the driver
     documents. Fully oracled (VERDICT r02 #3): the deterministic test
@@ -1873,6 +1951,8 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "seq_packing": (q_seq_packing, _ORACLE_SEQ_PACKING),
     "event_window_rollup": (q_event_window_rollup, _ORACLE_EVENT_WINDOW),
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
+    "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED),
+    "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB),
 }
 
 
