@@ -267,12 +267,56 @@ def run_big(cpus: int, n_docs: int) -> dict:
             "sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
 
 
+def run_big_dedup(cpus: int, n_docs: int) -> dict:
+    """End-to-end dedup-chain throughput at 10x the sf0.1 documents table:
+    materialize a synthetic corpus with controlled near-dup groups, run the
+    FULL detect -> verify -> cluster -> apply chain (q_dedup_apply pulls the
+    whole pipeline), report docs/sec plus the chain's own outputs as sanity
+    (clusters found, docs removed). Evidence that the r03 dedup tail
+    (candidates-only verify, semi-join shingle pruning, no forced
+    broadcasts, checkpointed CC) holds as the corpus grows."""
+    import tempfile
+
+    from html_sanitizer_spark.pipeline.session import get_spark
+    from html_sanitizer_spark.pipeline.synth import synth_documents_df
+    from html_sanitizer_spark.queries import q_dedup_apply
+
+    # the pair-verification join is the memory-heavy stage: size the heap
+    # and the shuffle like a real executor would be sized for it (the
+    # default 8g/32-thread split leaves ~256MB per task — too little for
+    # the intersection join's aggregate state at 50k+ docs)
+    spark = get_spark(
+        f"dedup-{cpus}", parallelism=cpus, shuffle_partitions=cpus * 2,
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+    tmp = tempfile.mkdtemp(prefix=f"dedup{cpus}-")
+    synth_documents_df(spark, n_docs, seed=42, partitions=cpus * 4
+                       ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    t0 = time.perf_counter()
+    apply_row = q_dedup_apply(spark, tmp).collect()[0]
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "workload": "dedup detect->verify->cluster->apply",
+        "docs": n_docs,
+        "cpus": cpus,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "n_removed": apply_row["n_removed"],
+        "n_survivors": apply_row["n_survivors"],
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--big", action="store_true",
                     help="sustained-throughput leg on a larger synth corpus")
     ap.add_argument("--big-docs", type=int, default=240_000)
+    ap.add_argument("--big-dedup", action="store_true",
+                    help="full dedup-chain throughput on a synthetic "
+                         "near-dup corpus")
+    ap.add_argument("--dedup-docs", type=int, default=20_000)
     ap.add_argument("--one-shot-scaling", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
@@ -286,6 +330,11 @@ if __name__ == "__main__":
 
     if args.one_shot_scaling:
         _one_shot_scaling(args.sf_dir, args.cpus)
+    elif args.big_dedup:
+        report = run_big_dedup(args.cpus, args.dedup_docs)
+        with open("BENCH_DEDUP.json", "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(json.dumps(report))
     elif args.big:
         report = run_big(args.cpus, args.big_docs)
         with open("BENCH_BIG.json", "w") as fh:

@@ -26,7 +26,13 @@ from pyspark.sql import types as T
 
 from ..functions.udfs import SPANS_TYPE
 
-__all__ = ["synth_spans_df", "golden_spans_df", "DOC_SCHEMA"]
+__all__ = [
+    "synth_spans_df",
+    "synth_documents_df",
+    "golden_spans_df",
+    "DOC_SCHEMA",
+    "DOCUMENTS_SCHEMA",
+]
 
 DOC_SCHEMA = T.StructType(
     [
@@ -137,6 +143,69 @@ def synth_spans_df(
 
     rng = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, schema=DOC_SCHEMA)
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+# hash-derived 8-char words: unrelated documents then share almost no
+# character trigrams (a wNNN-style vocab makes EVERY doc pair look similar
+# to a 3-gram sketch, which degenerates LSH into an all-pairs graph)
+_DOC_VOCAB = [f"{_h(7, 'vocab', i):016x}"[:8] for i in range(5000)]
+
+
+def synth_documents_df(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    group_size: int = 5,
+    doc_words: int = 40,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic documents table with CONTROLLED near-dup structure for
+    dedup benchmarking: docs come in groups of ``group_size``; member 0 is
+    the original, member k is the original with ~k of its ``doc_words``
+    tokens rewritten — so every group spans the similarity spectrum from
+    exact-ish dup (k=1) to borderline (k=group_size-1), exercising LSH
+    banding, exact-Jaccard verification, clustering, and the removal join
+    with known ground truth. Same distributed wall-clock-free generation
+    as synth_spans_df (spark.range -> mapInPandas)."""
+
+    def one(i: int) -> str:
+        base = (i // group_size) * group_size
+        k = i - base
+        words = [
+            _DOC_VOCAB[_h(seed, base, j) % len(_DOC_VOCAB)]
+            for j in range(doc_words)
+        ]
+        if k:
+            for j in range(doc_words):
+                if _h(seed, i, "mut", j) % doc_words < k:
+                    words[j] = _DOC_VOCAB[_h(seed, i, "rep", j) % len(_DOC_VOCAB)]
+        return " ".join(words)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            texts = [one(i) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    rng = spark.range(
+        0, n_docs,
+        numPartitions=partitions or spark.sparkContext.defaultParallelism,
+    )
+    return rng.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
 def golden_spans_df(spark: SparkSession, config: str = "default") -> DataFrame:

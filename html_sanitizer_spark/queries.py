@@ -650,11 +650,17 @@ def _neardup_labels(
         else:
             new_labels = new_labels.persist()
             new_unpersistable = True
+        # Full count, deliberately NOT limit(1): a limited probe computes
+        # (and caches) only the partitions it touches, so every later round
+        # silently recomputes the uncached rest — through the whole verify
+        # join once the prior round is unpersisted (measured: round times
+        # grew 4.7s -> 11.3s -> 82.5s on a 20k-doc corpus). The full count
+        # materializes every partition of new_labels into the cache and is
+        # O(labels) — trivial next to one propagation round.
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")
             .filter(F.col("n.root") != F.col("o.root"))
-            .limit(1)
             .count()
         )
         if labels_unpersistable:
@@ -663,14 +669,26 @@ def _neardup_labels(
         if changed == 0:
             converged = True
             break
-    pairs.unpersist()
-    edges.unpersist()
     if not converged:
+        pairs.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"near-dup label propagation did not converge in {max_rounds} "
             "rounds — the pair graph's diameter exceeds the bound; pass a "
             "larger max_rounds (each extra round costs one join+groupBy)"
         )
+    # Detach the result from the loop's cache chain before releasing it:
+    # the final frame's plan references every unpersisted round (and the
+    # verify pipeline) through nested InMemoryRelations, and downstream
+    # consumers (cluster rollup, the apply job's three aggregates) were
+    # measured re-running the FULL verify per action once those entries
+    # dropped. localCheckpoint stores the (tiny — one row per clustered
+    # doc) result as its own disk-backed blocks with lineage cut, so every
+    # consumer reads it directly.
+    if labels_unpersistable:
+        labels = labels.localCheckpoint(eager=True)
+    pairs.unpersist()
+    edges.unpersist()
     return labels
 
 

@@ -179,3 +179,31 @@ def test_null_span_element_preserved_on_all_paths(spark):
     assert spans_of(df.select("doc_id", udf("spans").alias("spans"))) == expected
     assert spans_of(sanitize_spans(spark, df, explode=True,
                                    salt_buckets=2)) == expected
+
+
+@pytest.mark.parametrize("spans", [
+    [],                                                             # empty
+    [{"kind": "text", "text": None, "media_ref": "", "offset": 0}],  # null text
+    [{"kind": "text", "text": "", "media_ref": "", "offset": 0}],    # empty text
+    [{"kind": "image", "text": "cap", "media_ref": "m://x", "offset": 0}],
+], ids=["empty-array", "null-text", "empty-text", "media-only"])
+def test_edge_span_arrays_agree_across_paths(spark, spans):
+    """Arrow, pandas, and exploded paths must agree on degenerate span
+    arrays (null/empty text, media-only, empty docs)."""
+    from html_sanitizer_spark.functions.udfs import (
+        make_span_array_udf,
+        sanitize_spans_arrow,
+    )
+
+    df = spark.createDataFrame([{"doc_id": "d", "spans": spans}],
+                               schema=DOC_SCHEMA)
+
+    def spans_of(out):
+        return [tuple(s) for s in out.collect()[0]["spans"]]
+
+    arrow = spans_of(sanitize_spans_arrow(df))
+    udf = make_span_array_udf()
+    pandas_ = spans_of(df.select("doc_id", udf("spans").alias("spans")))
+    exploded = spans_of(sanitize_spans(spark, df, explode=True,
+                                       salt_buckets=2))
+    assert arrow == pandas_ == exploded

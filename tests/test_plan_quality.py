@@ -131,7 +131,11 @@ def test_pii_scrub_is_pure_jvm_map(spark):
 
 def _no_hint_plan(spark, build):
     """Plan with AQE + size-based broadcast disabled: any BroadcastExchange
-    left can only come from an explicit F.broadcast hint."""
+    left can only come from an explicit F.broadcast hint. The cache is
+    cleared first — an InMemoryRelation captured by an EARLIER test under
+    the default conf embeds that run's (legitimately size-based) broadcast
+    decisions into this plan and would false-positive the gate."""
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -196,3 +200,13 @@ def test_no_rdd_conversion_in_query_build(spark, monkeypatch):
     for name, fn in spark_queries().items():
         df = fn(spark, SF)
         assert df.columns, name
+
+
+def test_verified_dedup_prunes_shingles_to_pair_members(spark):
+    """q_dedup_verified must semi-join the shingle table down to candidate
+    -pair members before the intersection join (at 100TB the candidate set
+    is a small corpus fraction; shingling everything is the scale bug)."""
+    from html_sanitizer_spark.queries import q_dedup_verified
+
+    plan = _plan(q_dedup_verified(spark, SF))
+    assert "LeftSemi" in plan, plan
