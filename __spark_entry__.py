@@ -6,9 +6,11 @@
 ``sanitize_text`` (the tree engine itself — correctness pinned by the
 112-pair golden replay instead, the correctly-non-SQL case). Everything
 else — including the seeded-hyperplane LSH, IVF, iterative
-connected-components, and the multimodal decode rollup (md5-replayable
-fake kernel through real mapInPandas plumbing) — is fully oracled via
-generated SQL (literal constants embedded / recursive CTEs): 31 of 32.
+connected-components, the multimodal decode rollup (md5-replayable fake
+kernel through real mapInPandas plumbing), event-time windows,
+sessionization, decontamination, sequence packing, stratified sampling,
+and vocabulary stats — is fully oracled via generated SQL (literal
+constants embedded / recursive CTEs): 37 of 38.
 """
 
 from __future__ import annotations
