@@ -77,3 +77,45 @@ def test_stream_sessionize_event_time_timeouts(spark, tmp_path):
     assert 4 not in sessions
     # exactly-once: no duplicate session rows
     assert len(rows) == sum(len(v) for v in sessions.values())
+
+
+def test_stream_matches_batch_sessionize_when_all_closed(spark, tmp_path):
+    """Differential: feed real driver events through the streaming
+    sessionizer, close everything with a far-future sentinel, and the
+    emitted sessions must equal the batch q_sessionize output row-for-row
+    (same gap, same floor-second duration semantics)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from html_sanitizer_spark.queries import q_sessionize
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") < 6)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    sf_dir = str(tmp_path / "sf")
+    src.write.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        (r["user_id"], r["n_events"], r["sess_start"], r["sess_end"],
+         r["duration_sec"])
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    assert batch  # the slice actually has sessions
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    src.coalesce(1).write.mode("append").parquet(in_dir)
+    _run(spark, in_dir, out_dir, ckpt)
+    # sentinel: advances the watermark far past every open timeout
+    _write_events(spark, in_dir, [(999, datetime(2031, 1, 1))])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    streamed = {
+        (r["user_id"], r["n_events"], r["sess_start"], r["sess_end"],
+         r["duration_sec"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != 999
+    }
+    assert streamed == batch
