@@ -74,3 +74,40 @@ def test_watermarked_window_rollup_drops_late_data(spark, tmp_path):
     # no duplicate emission: counts keyed uniquely
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == len({(r["day_start"], r["event_type"]) for r in rows})
+
+
+def test_stream_matches_batch_window_rollup_when_all_closed(spark, tmp_path):
+    """Differential: the watermarked streaming window counts must equal the
+    batch q_event_window_rollup counts once every window has closed (via a
+    far-future sentinel event)."""
+    from pyspark.sql import functions as F
+
+    from html_sanitizer_spark.queries import q_event_window_rollup
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    sf_dir = str(tmp_path / "sf")
+    src.write.parquet(f"{sf_dir}/events.parquet")
+    batch = {
+        (r["day_start"], r["event_type"]): r["n_events"]
+        for r in q_event_window_rollup(spark, sf_dir).collect()
+    }
+    assert batch
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    src.coalesce(1).write.mode("append").parquet(in_dir)
+    _run(spark, in_dir, out_dir, ckpt)
+    _write_events(spark, in_dir, [(datetime(2031, 1, 1), "sentinel")])
+    _run(spark, in_dir, out_dir, ckpt)
+    _write_events(spark, in_dir, [(datetime(2031, 6, 1), "sentinel2")])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    streamed = {
+        (r["day_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+        if not r["event_type"].startswith("sentinel")
+    }
+    assert streamed == batch
