@@ -1879,6 +1879,74 @@ ORDER BY df DESC, cf DESC, w ASC LIMIT 20
 """
 
 
+def q_repetition_score(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style quality rules):
+    duplicate word fraction and duplicate word-trigram fraction are
+    MAP-SIDE array expressions (no shuffle); the top-token frequency
+    fraction needs a per-(doc, token) count — one hash groupBy + a per-doc
+    max, the standard two-aggregation shape. High values flag the
+    boilerplate/spam documents a training pipeline drops."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    toks = F.split(F.col("text"), " ")
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            1 - F.size(F.array_distinct(toks)) / F.size(toks), 4
+        ).alias("dup_word_frac"),
+        F.round(1 - F.size(F.array_distinct(tri)) / F.size(tri), 4).alias(
+            "dup_trigram_frac"
+        ),
+    )
+    top = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        "dup_trigram_frac",
+        F.round(F.col("top_tok_n") / F.col("n_tokens"), 4).alias(
+            "top_token_frac"
+        ),
+    )
+
+
+_ORACLE_REPETITION = """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents WHERE n_chars > 0),
+base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(1 - len(list_distinct(toks)) / len(toks), 4)
+           AS dup_word_frac,
+         round(1 - len(list_distinct(tris)) / len(tris), 4)
+           AS dup_trigram_frac
+  FROM (SELECT doc_id, toks,
+               list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                 AS tris
+        FROM d)),
+top AS (
+  SELECT doc_id, max(c) AS top_tok_n FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(toks) AS tok FROM d)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens, b.dup_word_frac, b.dup_trigram_frac,
+       round(t.top_tok_n / b.n_tokens, 4) AS top_token_frac
+FROM base b JOIN top t ON t.doc_id = b.doc_id
+"""
+
+
 def q_multimodal_rollup(spark, sf_dir):
     """Multimodal decode plumbing over media spans derived from the driver
     documents. Fully oracled (VERDICT r02 #3): the deterministic test
@@ -1983,6 +2051,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED),
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB),
+    "repetition_score": (q_repetition_score, _ORACLE_REPETITION),
 }
 
 

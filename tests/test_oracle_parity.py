@@ -75,3 +75,17 @@ def test_rows_only_queries_run(spark):
             df = fn(spark, SF_DIR)
             assert df.count() >= 0, name
             assert len(df.columns) > 0, name
+
+
+def test_registry_column_discipline(spark):
+    """Driver-gate insurance: every registry query must emit distinct,
+    explicitly-aliased snake_case column names (the driver hash-compares
+    after sorting columns by name; an unaliased `sum(x)` or a duplicate
+    name breaks the compare silently)."""
+    import re
+
+    for name, (fn, _) in REGISTRY.items():
+        cols = fn(spark, SF_DIR).columns
+        assert len(cols) == len(set(cols)), (name, cols)
+        for c in cols:
+            assert re.fullmatch(r"[a-z][a-z0-9_]*", c), (name, c)
