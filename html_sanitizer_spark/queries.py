@@ -1618,7 +1618,12 @@ def q_event_window_rollup(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("day_start"),
+            # string-typed on BOTH sides: the correctness gate value-hashes
+            # columns, and raw timestamps reach pandas at different
+            # resolutions from Spark (ns) and DuckDB (us)
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "day_start"
+            ),
             "event_type",
             "n_events",
             "sum_value",
@@ -1627,7 +1632,8 @@ def q_event_window_rollup(spark, sf_dir):
 
 
 _ORACLE_EVENT_WINDOW = """
-SELECT date_trunc('day', ts) AS day_start, event_type,
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+       event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
@@ -1656,10 +1662,17 @@ def q_sessionize(spark, sf_dir):
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # sess_start/sess_end string-typed on BOTH sides (see
+    # q_event_window_rollup: raw timestamp columns hash at different
+    # pandas resolutions from Spark and DuckDB)
     return sess.groupBy("user_id", "sess_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("sess_start"),
-        F.max("ts").alias("sess_end"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "sess_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "sess_end"
+        ),
         (
             F.max("ts").cast("timestamp").cast("long")
             - F.min("ts").cast("timestamp").cast("long")
@@ -1680,7 +1693,8 @@ s AS (
             ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM g)
 SELECT user_id, sess_id::BIGINT AS sess_id, count(*) AS n_events,
-       min(ts) AS sess_start, max(ts) AS sess_end,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
        (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_sec
 FROM s GROUP BY user_id, sess_id
 """

@@ -112,9 +112,10 @@ def test_stream_matches_batch_sessionize_when_all_closed(spark, tmp_path):
     _write_events(spark, in_dir, [(999, datetime(2031, 1, 1))])
     _run(spark, in_dir, out_dir, ckpt)
 
+    fmt = "%Y-%m-%d %H:%M:%S.%f"  # batch emits strings at this format
     streamed = {
-        (r["user_id"], r["n_events"], r["sess_start"], r["sess_end"],
-         r["duration_sec"])
+        (r["user_id"], r["n_events"], r["sess_start"].strftime(fmt),
+         r["sess_end"].strftime(fmt), r["duration_sec"])
         for r in spark.read.parquet(out_dir).collect()
         if r["user_id"] != 999
     }

@@ -106,7 +106,8 @@ def test_stream_matches_batch_window_rollup_when_all_closed(spark, tmp_path):
     _run(spark, in_dir, out_dir, ckpt)
 
     streamed = {
-        (r["day_start"], r["event_type"]): r["n_events"]
+        (r["day_start"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]):
+            r["n_events"]
         for r in spark.read.parquet(out_dir).collect()
         if not r["event_type"].startswith("sentinel")
     }
