@@ -174,13 +174,22 @@ def _settings_fingerprint(settings_obj, memoize: int) -> str:
 
 def _worker_cache(memo_key: str) -> dict:
     """Executor-side cache lookup with stale-config eviction: a long-lived
-    reused worker that has seen many distinct configs drops the old caches
-    rather than accumulating them (ADVICE r02)."""
+    reused worker that has seen many distinct configs drops old caches
+    rather than accumulating them (ADVICE r02). Eviction is per-entry LRU
+    (ADVICE r03): on overflow, only the least-recently-used config's cache
+    is dropped — configs still actively in use on a mixed-config worker
+    keep their warm caches instead of cold-restarting wholesale. Dicts
+    preserve insertion order, so moving a key to the end on every hit makes
+    the first key the LRU victim."""
     cache = _worker_memo.get(memo_key)
     if cache is None:
         if len(_worker_memo) >= _WORKER_MEMO_MAX_CONFIGS:
-            _worker_memo.clear()
+            _worker_memo.pop(next(iter(_worker_memo)))
         cache = _worker_memo[memo_key] = {}
+    else:
+        # refresh recency: re-insert at the end of the order
+        _worker_memo.pop(memo_key)
+        _worker_memo[memo_key] = cache
     return cache
 
 

@@ -95,7 +95,15 @@ def _fold_sessions(
                 if n and t - last_us > _GAP_US:
                     emit(n, start_us, last_us)  # gap inside the feed
                     n, start_us = 0, t
-                n, last_us = n + 1, max(last_us, t)
+                # out-of-order events inside the watermark can precede the
+                # stored session start: absorb them by moving start DOWN as
+                # well as last up (ADVICE r03). What still can't happen is
+                # re-opening an already-EMITTED session — once the timeout
+                # fired the state is gone, which is exactly the guarantee
+                # the watermark delay exists to size.
+                n = n + 1
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
             state.update((n, start_us, last_us))
             state.setTimeoutTimestamp(last_us // 1_000 + _GAP_US // 1_000)
     yield pd.DataFrame(
@@ -110,11 +118,21 @@ def stream_sessionize(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    watermark: str = "0 seconds",
+    watermark: str = "30 minutes",
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for event parquet files and emit one row per
-    CLOSED session (gap > 30 min) to ``output_dir``."""
+    CLOSED session (gap > 30 min) to ``output_dir``.
+
+    ``watermark`` is the out-of-order tolerance: events up to that far
+    behind the max event time seen are still folded into open sessions
+    (including moving a session's start earlier); older ones are dropped
+    by the engine before reaching the state operator. The default is a
+    real production delay (VERDICT r03 #7) — "0 seconds" drops EVERY
+    cross-batch out-of-order event, which no web event feed satisfies.
+    The trade-off is latency, not correctness: a session only times out
+    once the watermark passes last_event + gap, so emission lags by the
+    watermark delay."""
     src = (
         spark.readStream.schema(EVENT_SCHEMA)
         .parquet(input_dir)

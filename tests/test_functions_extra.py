@@ -269,7 +269,10 @@ class TestWorkerMemoKeying:
         assert _settings_fingerprint(Settings({}), 200) != a
         assert _settings_fingerprint(settings_for("nofollow"), 100) != a
 
-    def test_worker_store_evicts_stale_configs(self):
+    def test_worker_store_evicts_single_lru_entry(self):
+        """ADVICE r03: overflow evicts exactly ONE entry — the least
+        recently used — never the whole store (a clear-all cold-restarts
+        configs still active on a mixed-config worker)."""
         from html_sanitizer_spark.functions import udfs
 
         udfs._worker_memo.clear()
@@ -277,12 +280,17 @@ class TestWorkerMemoKeying:
             for i in range(udfs._WORKER_MEMO_MAX_CONFIGS):
                 udfs._worker_cache(f"cfg{i}")["x"] = i
             assert len(udfs._worker_memo) == udfs._WORKER_MEMO_MAX_CONFIGS
-            # existing key: no eviction
+            # touch cfg0: now cfg1 is the LRU victim
             assert udfs._worker_cache("cfg0") == {"x": 0}
-            # new key past the cap: stale configs dropped, store stays bounded
+            # new key past the cap: exactly one eviction (cfg1), rest kept
             udfs._worker_cache("cfg_new")["x"] = 99
-            assert len(udfs._worker_memo) == 1
+            assert len(udfs._worker_memo) == udfs._WORKER_MEMO_MAX_CONFIGS
+            assert "cfg1" not in udfs._worker_memo
+            assert udfs._worker_memo["cfg0"] == {"x": 0}
             assert udfs._worker_cache("cfg_new") == {"x": 99}
+            # every other pre-cap config survived the overflow
+            for i in range(2, udfs._WORKER_MEMO_MAX_CONFIGS):
+                assert udfs._worker_memo[f"cfg{i}"] == {"x": i}
         finally:
             udfs._worker_memo.clear()
 

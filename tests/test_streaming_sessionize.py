@@ -120,3 +120,40 @@ def test_stream_matches_batch_sessionize_when_all_closed(spark, tmp_path):
         if r["user_id"] != 999
     }
     assert streamed == batch
+
+
+def test_stream_sessionize_absorbs_in_watermark_late_events(spark, tmp_path):
+    """ADVICE r03 + VERDICT r03 #7: an out-of-order event that arrives in a
+    LATER microbatch but inside the (now real, 30-minute default) watermark
+    must extend the stored session — including moving sess_start DOWN when
+    the late event precedes everything seen so far."""
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    d = datetime
+
+    # run 1: user 1 opens a session 10:00-10:10; user 2's 10:20 event sets
+    # the watermark to 09:50 (max ts - 30 min)
+    _write_events(spark, in_dir, [
+        (1, d(2024, 1, 1, 10, 0)),
+        (1, d(2024, 1, 1, 10, 10)),
+        (2, d(2024, 1, 1, 10, 20)),
+    ])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    # run 2: user 1's LATE event at 09:55 — behind every event seen, but
+    # inside the watermark (>= 09:50) — must be folded in, moving the
+    # session start from 10:00 back to 09:55
+    _write_events(spark, in_dir, [(1, d(2024, 1, 1, 9, 55))])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    # run 3: sentinel advances the watermark far past every open timeout
+    _write_events(spark, in_dir, [(999, d(2031, 1, 1))])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    rows = [r for r in spark.read.parquet(out_dir).collect()
+            if r["user_id"] == 1]
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert r["sess_start"].strftime("%H:%M") == "09:55"
+    assert r["sess_end"].strftime("%H:%M") == "10:10"
+    assert r["duration_sec"] == 900
