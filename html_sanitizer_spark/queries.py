@@ -615,6 +615,7 @@ def _neardup_labels(
     iteration (VERDICT r02 #6). Raises if max_rounds is hit before
     convergence — returning partial labels would silently diverge from the
     exact transitive closure the oracle computes (ADVICE r02)."""
+    owns_verify_caches = pairs is None
     if pairs is None:
         pairs = (
             q_dedup_verified(spark, sf_dir)
@@ -672,6 +673,8 @@ def _neardup_labels(
     if not converged:
         pairs.unpersist()
         edges.unpersist()
+        if owns_verify_caches:
+            release_dedup_verify_caches()
         raise RuntimeError(
             f"near-dup label propagation did not converge in {max_rounds} "
             "rounds — the pair graph's diameter exceeds the bound; pass a "
@@ -689,6 +692,10 @@ def _neardup_labels(
         labels = labels.localCheckpoint(eager=True)
     pairs.unpersist()
     edges.unpersist()
+    # labels is checkpointed (lineage cut), so the verify stage's internal
+    # caches can be released too — nothing downstream re-reads them
+    if owns_verify_caches:
+        release_dedup_verify_caches()
     return labels
 
 
@@ -765,13 +772,36 @@ SELECT (SELECT count(*) FROM documents) AS n_input,
 """
 
 
+# Caches persisted by the latest q_dedup_verified invocation (the returned
+# frame is lazy, so the function can't unpersist them itself). Ownership
+# contract (ADVICE r03): each new invocation releases the previous
+# invocation's caches first — a long-lived session that calls the query
+# repeatedly holds at most one generation of cached blocks — and consumers
+# that materialize the result (the CC path, bench) call
+# release_dedup_verify_caches() explicitly once done.
+_dedup_verify_caches: list[DataFrame] = []
+
+
+def release_dedup_verify_caches() -> None:
+    """Unpersist the candidate-pair/shingle frames cached by the most
+    recent q_dedup_verified call. Safe to call any time: a consumer that
+    re-runs the returned frame afterwards just recomputes them."""
+    while _dedup_verify_caches:
+        _dedup_verify_caches.pop().unpersist()
+
+
 def q_dedup_verified(spark, sf_dir):
     """Near-dup verification stage: exact 3-gram Jaccard computed ONLY over
     the LSH candidate pairs — the 100TB-correct shape (the candidate set is
     ~linear in corpus size, so the expensive exact measure never touches
     the full pair space; VERDICT r01 #4's 'compute Jaccard only over LSH
-    candidate pairs'). Verified duplicate = jaccard >= 0.7."""
+    candidate pairs'). Verified duplicate = jaccard >= 0.7.
+
+    Cache lifetime: the two internal persists below are registered in
+    _dedup_verify_caches; see release_dedup_verify_caches."""
+    release_dedup_verify_caches()
     pairs = _minhash_candidate_pairs(spark, sf_dir).persist()
+    _dedup_verify_caches.append(pairs)
     d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 3))
     # Only docs that appear in a candidate pair need shingles: semi-join the
     # shingle table down to that set BEFORE the exploded volume is shuffled.
@@ -794,6 +824,7 @@ def q_dedup_verified(spark, sf_dir):
             )
         ).alias("shingle"),
     ).persist()  # consumed 3x below (sizes + both join sides): shingle once
+    _dedup_verify_caches.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1768,22 +1799,40 @@ FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
 """
 
 
-def q_seq_packing(spark, sf_dir):
-    """Training-sequence packing (concat-and-chunk, GPT-style): documents
-    are concatenated in doc_id order and cut into fixed 512-token
-    sequences; each doc reports its sequence id, offset, and whether it
-    straddles a cut. Scale shape: packing is SHARD-LOCAL — the running
-    token total is a window partitioned by a shard key (doc_id % 8 here;
-    shard count scales with the cluster), never a global single-partition
-    sort. Cross-shard sequence ids namespace as (shard, seq_in_shard)."""
+def _packing_cumsums(spark, sf_dir, n_shards: int | None):
+    """Shared packing prefix: per-shard running token totals.
+
+    ``n_shards`` is the parallelism of the whole operator — the running
+    sum is a window partitioned by shard, so it executes on exactly
+    ``n_shards`` tasks. Production default (``None``) sizes it to the
+    cluster (defaultParallelism — VERDICT r03 #1: a hard-coded literal is
+    a parallelism ceiling at scale); the registry demo pins 8 so the
+    DuckDB oracle is deterministic (the same sample_mod pattern as
+    q_ngram_jaccard)."""
+    if n_shards is None:
+        n_shards = spark.sparkContext.defaultParallelism
     d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
     t = d.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
+        F.split(F.col("text"), " ").alias("toks"),
+    ).withColumn("n_tok", F.size("toks").cast("long"))
+    return t.withColumn(
+        "cum", F.sum("n_tok").over(Window.partitionBy("shard").orderBy("doc_id"))
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
+
+
+def q_seq_packing(spark, sf_dir, n_shards: int | None = None):
+    """Training-sequence packing placement (concat-and-chunk, GPT-style):
+    documents are concatenated in doc_id order within a shard and cut into
+    fixed 512-token sequences; each doc reports its sequence id, offset,
+    and whether it straddles a cut. Scale shape: packing is SHARD-LOCAL —
+    the running token total is a window partitioned by a shard key, never
+    a global single-partition sort; shard count defaults to the cluster's
+    defaultParallelism (see _packing_cumsums). Cross-shard sequence ids
+    namespace as (shard, seq_in_shard). The packed artifact itself comes
+    from q_seq_packing_output."""
+    c = _packing_cumsums(spark, sf_dir, n_shards)
     start = F.col("cum") - F.col("n_tok")
     return c.select(
         "doc_id",
@@ -1794,6 +1843,79 @@ def q_seq_packing(spark, sf_dir):
         F.when(F.floor((F.col("cum") - 1) / 512) > F.floor(start / 512), 1)
         .otherwise(0)
         .alias("crosses_boundary"),
+    )
+
+
+def q_seq_packing_output(
+    spark, sf_dir, seq_len: int = 512, n_shards: int | None = None
+):
+    """The packed sequences THEMSELVES (VERDICT r03 #1: placement metadata
+    is not the artifact a training run consumes): one row per
+    (shard, seq_in_shard) carrying the actual token content and the
+    ordered doc/slice composition. Every sequence is exactly ``seq_len``
+    tokens except each shard's final partial one.
+
+    Shape at scale: one map-side explode fans each doc out to the 1-2
+    sequences it touches (a doc spanning many sequences emits one bounded
+    row per sequence, so a mega-doc never builds one giant row), then ONE
+    groupBy on (shard, seq_in_shard) whose groups are <= seq_len tokens by
+    construction — bounded aggregation state, no skew possible."""
+    c = _packing_cumsums(spark, sf_dir, n_shards)
+    s = F.col("cum") - F.col("n_tok")
+    pieces = c.select(
+        "doc_id", "shard", "toks", "n_tok", "cum",
+        F.explode(
+            F.sequence(F.floor(s / seq_len), F.floor((F.col("cum") - 1) / seq_len))
+        ).alias("seq_in_shard"),
+    )
+    k0 = F.col("seq_in_shard") * seq_len
+    s = F.col("cum") - F.col("n_tok")
+    slice_start = F.greatest(k0 - s, F.lit(0)).cast("long")  # 0-based in doc
+    pos_in_seq = F.greatest(s - k0, F.lit(0)).cast("long")
+    slice_len = (
+        F.least(F.col("cum"), k0 + seq_len) - F.greatest(s, k0)
+    ).cast("long")
+    sliced = pieces.select(
+        "shard",
+        "seq_in_shard",
+        "doc_id",
+        pos_in_seq.alias("pos_in_seq"),
+        slice_start.alias("slice_start"),
+        slice_len.alias("slice_len"),
+        F.slice("toks", slice_start + 1, slice_len).alias("slice_toks"),
+    )
+    parts = sliced.groupBy("shard", "seq_in_shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("slice_len").alias("n_tok"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pos_in_seq", "doc_id", "slice_start", "slice_len",
+                    "slice_toks",
+                )
+            )
+        ).alias("parts"),
+    )
+    return parts.select(
+        "shard",
+        "seq_in_shard",
+        "n_docs",
+        "n_tok",
+        F.array_join(
+            F.transform(
+                "parts",
+                lambda p: F.concat_ws(
+                    ":",
+                    p["doc_id"].cast("string"),
+                    p["slice_start"].cast("string"),
+                    p["slice_len"].cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("composition"),
+        F.array_join(
+            F.flatten(F.transform("parts", lambda p: p["slice_toks"])), " "
+        ).alias("packed_text"),
     )
 
 
@@ -1812,6 +1934,44 @@ SELECT doc_id, shard, n_tok::BIGINT AS n_tok,
        CASE WHEN (cum - 1) // 512 > (cum - n_tok) // 512
             THEN 1 ELSE 0 END AS crosses_boundary
 FROM c
+"""
+
+
+_ORACLE_SEQ_PACKING_OUTPUT = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard, string_split(text, ' ') AS toks,
+         len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents WHERE n_chars > 0),
+c AS (
+  SELECT *, (sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id))::BIGINT
+              AS cum
+  FROM t),
+pieces AS (
+  SELECT shard, doc_id, toks, n_tok, cum,
+         unnest(range((cum - n_tok) // 512, (cum - 1) // 512 + 1))
+           AS seq_in_shard
+  FROM c),
+sliced AS (
+  SELECT shard, seq_in_shard, doc_id,
+         greatest((cum - n_tok) - seq_in_shard * 512, 0) AS pos_in_seq,
+         greatest(seq_in_shard * 512 - (cum - n_tok), 0) AS slice_start,
+         least(cum, (seq_in_shard + 1) * 512)
+           - greatest(cum - n_tok, seq_in_shard * 512) AS slice_len,
+         list_slice(toks,
+                    greatest(seq_in_shard * 512 - (cum - n_tok), 0) + 1,
+                    greatest(seq_in_shard * 512 - (cum - n_tok), 0)
+                      + least(cum, (seq_in_shard + 1) * 512)
+                      - greatest(cum - n_tok, seq_in_shard * 512))
+           AS slice_toks
+  FROM pieces)
+SELECT shard, seq_in_shard, count(*) AS n_docs,
+       sum(slice_len)::BIGINT AS n_tok,
+       string_agg(doc_id::VARCHAR || ':' || slice_start::VARCHAR || ':'
+                    || slice_len::VARCHAR, '|' ORDER BY pos_in_seq)
+         AS composition,
+       array_to_string(flatten(list(slice_toks ORDER BY pos_in_seq)), ' ')
+         AS packed_text
+FROM sliced GROUP BY shard, seq_in_shard
 """
 
 
@@ -2060,7 +2220,16 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "ann_ivf_topk": (q_ann_ivf, _ORACLE_ANN_IVF),
     "multimodal_rollup": (q_multimodal_rollup, _ORACLE_MULTIMODAL),
     "decontaminate": (q_decontaminate, _ORACLE_DECONTAMINATE),
-    "seq_packing": (q_seq_packing, _ORACLE_SEQ_PACKING),
+    # 8-shard demo pins for oracle determinism; bare q_seq_packing* default
+    # n_shards to the cluster's defaultParallelism (VERDICT r03 #1)
+    "seq_packing": (
+        lambda spark, sf_dir: q_seq_packing(spark, sf_dir, n_shards=8),
+        _ORACLE_SEQ_PACKING,
+    ),
+    "seq_packing_output": (
+        lambda spark, sf_dir: q_seq_packing_output(spark, sf_dir, n_shards=8),
+        _ORACLE_SEQ_PACKING_OUTPUT,
+    ),
     "event_window_rollup": (q_event_window_rollup, _ORACLE_EVENT_WINDOW),
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED),

@@ -88,3 +88,39 @@ def test_clusters_match_bruteforce_cc_on_verified_graph(spark):
         for r in Q.q_dedup_clusters(spark, SF).collect()
     }
     assert got == {root: len(members) for root, members in expected.items()}
+
+
+def test_dedup_verified_caches_do_not_accumulate(spark):
+    """ADVICE r03: q_dedup_verified persists two internal frames per
+    invocation; repeated invocations in a long-lived session must release
+    the previous generation (and release_dedup_verify_caches drops the
+    rest)."""
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    Q.release_dedup_verify_caches()
+    base = n_persistent()
+    Q.q_dedup_verified(spark, SF).count()
+    assert len(Q._dedup_verify_caches) == 2
+    after_first = n_persistent()
+    assert after_first == base + 2
+
+    Q.q_dedup_verified(spark, SF).count()
+    # previous generation was unpersisted, not accumulated: the persistent
+    # block count is FLAT across invocations (object-level storageLevel
+    # can't pin this — Spark's cache lookup is by logical plan, and the
+    # two invocations build identical plans)
+    assert len(Q._dedup_verify_caches) == 2
+    assert n_persistent() == after_first
+
+    Q.release_dedup_verify_caches()
+    assert Q._dedup_verify_caches == []
+    assert n_persistent() == base
+
+
+def test_neardup_labels_release_verify_caches_it_created(spark):
+    """The CC path owns the verify caches it triggers: after labels are
+    checkpointed nothing holds persisted verify-stage blocks."""
+    Q.release_dedup_verify_caches()
+    Q._neardup_labels(spark, SF).count()
+    assert Q._dedup_verify_caches == []
