@@ -1453,6 +1453,53 @@ def q_sanitize_text(spark, sf_dir):
     )
 
 
+def q_sanitize_text_plain(spark, sf_dir):
+    """Oracled sanitize over the markup-free subset (VERDICT r03 #2): for
+    documents containing no tag/entity-significant bytes and no non-ASCII
+    (so NFKC is the identity), the tree engine provably reduces to the
+    whitespace collapse — probe-verified against the pure engine in
+    tests/test_engine_unit.py (plain-subset equivalence) — so DuckDB can
+    replay the FULL sanitize even though the run still goes through the
+    real Spark pipeline (explode -> salted Arrow UDF -> reassemble). The
+    irreducible tree cases stay in q_sanitize_text (rows-only, pinned by
+    the 112-pair golden replay)."""
+    from .pipeline.job import sanitize_spans
+
+    plain = _docs(spark, sf_dir).filter(
+        (~F.col("text").rlike("[<>&\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"))
+        & F.col("text").rlike("^[\\x20-\\x7e\\t\\n\\r]*$")
+        & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    spans = plain.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias(
+                    "text"
+                ),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = sanitize_spans(spark, spans, salt_buckets=8)
+    return out.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("clean_p")
+    )
+
+
+_ORACLE_SANITIZE_PLAIN = r"""
+SELECT doc_id::VARCHAR AS doc_id,
+       '<p>' || regexp_replace(text, '[ \t\n\r]+', ' ', 'g') || '</p>'
+         AS clean_p
+FROM documents
+WHERE NOT regexp_matches(text, '[<>&\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')
+  AND regexp_matches(text, '^[\x20-\x7e\t\n\r]*$')
+  AND len(trim(text)) > 0
+"""
+
+
 flagship = q_sanitize_text
 
 
@@ -2215,6 +2262,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "embedding_neardup": (q_embedding_neardup, _ORACLE_NEARDUP),
     "sanitize_structure": (q_sanitize_structure, _ORACLE_STRUCTURE),
     "sanitize_text": (q_sanitize_text, None),
+    "sanitize_text_plain": (q_sanitize_text_plain, _ORACLE_SANITIZE_PLAIN),
     "training_pipeline": (q_training_pipeline, _ORACLE_TRAINING),
     "ann_lsh_topk": (q_ann_lsh, _ORACLE_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, _ORACLE_ANN_IVF),

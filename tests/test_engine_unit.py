@@ -239,3 +239,33 @@ def test_xml_image_dataurls_are_script_capable():
         assert "data:" not in out, (image_type, out)
     safe = sanitize('<img src="data:image/png;base64,AAAA">', s)
     assert "data:image/png" in safe, safe
+
+
+class TestPlainSubsetEquivalence:
+    """Backs the q_sanitize_text_plain oracle (VERDICT r03 #2): on the
+    markup-free ASCII subset (no <>& or control bytes, trim nonempty),
+    sanitize('<p>'+s+'</p>') must equal '<p>' + whitespace-collapsed s +
+    '</p>' — the exact expression the DuckDB twin replays."""
+
+    def test_plain_subset_reduces_to_whitespace_collapse(self):
+        import re
+
+        from hypothesis import given, settings as hyp_settings
+        from hypothesis import strategies as st
+
+        plain = st.text(
+            alphabet=st.sampled_from(
+                [chr(c) for c in range(0x20, 0x7F) if chr(c) not in "<>&"]
+                + ["\t", "\n", "\r"]
+            ),
+            min_size=1,
+            max_size=120,
+        ).filter(lambda s: s.strip())
+
+        @hyp_settings(max_examples=300, deadline=None)
+        @given(plain)
+        def check(s):
+            expect = "<p>" + re.sub(r"[ \t\n\r]+", " ", s) + "</p>"
+            assert sanitize("<p>" + s + "</p>") == expect
+
+        check()
