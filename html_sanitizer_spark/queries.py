@@ -2248,6 +2248,74 @@ FROM f GROUP BY kind
 _ORACLE_MULTIMODAL = _multimodal_oracle_sql()
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """Multimodal decode with REAL stdlib codec kernels (VERDICT r03 #5):
+    media_from_spans(payloads='stdlib') synthesizes VALID P5 PGM / PCM WAV
+    bytes in a mapInPandas fetch stage (where the production ranged-GET
+    runs), and strict_decoder genuinely parses them — netpbm header
+    tokenizer, RIFF chunk walk — through the same mapInPandas Arrow
+    plumbing. Oracled because the synthesis geometry derives from
+    md5(media_ref): DuckDB replays the generator arithmetic, so any
+    decoder mis-parse diverges from the oracle and fails the gate."""
+    from .functions.multimodal import decode_media, media_from_spans
+
+    feats = decode_media(
+        media_from_spans(
+            spans_from_documents(spark, sf_dir), payloads="stdlib"
+        )
+    )
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+        F.round(F.avg("n_frames"), 4).alias("avg_frames"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+def _multimodal_real_oracle_sql() -> str:
+    """DuckDB twin of q_multimodal_real_decode: replays the payload
+    GENERATOR's md5-derived geometry (synth_stdlib_payload) — image
+    width/height = 4 + digest bytes 0/1 % 13, audio = 8000 Hz mono with
+    1 + byte2 % 64 frames — which the Spark side only reaches by actually
+    parsing the synthesized netpbm/WAV bytes."""
+    def byte_expr(k: int) -> str:
+        p = 2 * k + 1
+        return (
+            f"((strpos('0123456789abcdef', substr(h, {p}, 1)) - 1) * 16"
+            f" + strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+        )
+
+    return f"""
+WITH m AS (
+  SELECT doc_id::VARCHAR AS doc_id, 'image' AS kind,
+         md5('media://img/' || md5(doc_id::VARCHAR)) AS h
+  FROM documents
+  UNION ALL
+  SELECT doc_id::VARCHAR AS doc_id, 'audio' AS kind,
+         md5('media://aud/' || md5(doc_id::VARCHAR)) AS h
+  FROM documents),
+f AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image' THEN 4 + {byte_expr(0)} % 13
+              ELSE 8000 END AS width,
+         CASE WHEN kind = 'image' THEN 4 + {byte_expr(1)} % 13
+              ELSE 1 END AS height,
+         CASE WHEN kind = 'image' THEN 1
+              ELSE 1 + {byte_expr(2)} % 64 END AS n_frames
+  FROM m)
+SELECT kind, count(*) AS n_media,
+       round(avg(width), 4) AS avg_width,
+       round(avg(height), 4) AS avg_height,
+       round(avg(n_frames), 4) AS avg_frames,
+       count(DISTINCT doc_id) AS n_docs
+FROM f GROUP BY kind
+"""
+
+
+_ORACLE_MULTIMODAL_REAL = _multimodal_real_oracle_sql()
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -2283,6 +2351,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "ann_lsh_topk_wide": (q_ann_lsh_wide, _ORACLE_ANN_LSH_WIDE),
     "ann_ivf_topk": (q_ann_ivf, _ORACLE_ANN_IVF),
     "multimodal_rollup": (q_multimodal_rollup, _ORACLE_MULTIMODAL),
+    "multimodal_real_decode": (q_multimodal_real_decode, _ORACLE_MULTIMODAL_REAL),
     "decontaminate": (q_decontaminate, _ORACLE_DECONTAMINATE),
     # 8-shard demo pins for oracle determinism; bare q_seq_packing* default
     # n_shards to the cluster's defaultParallelism (VERDICT r03 #1)

@@ -35,16 +35,34 @@ def doc(spark):
     )
 
 
-def test_on_error_keep(spark, poison, doc):
+_PLANS = [
+    {"explode": True, "salt_buckets": 2},
+    {"explode": False, "nested_impl": "arrow"},
+    {"explode": False, "nested_impl": "pandas"},
+]
+_PLAN_IDS = ["exploded", "nested-arrow", "nested-pandas"]
+
+
+@pytest.mark.parametrize("plan", _PLANS, ids=_PLAN_IDS)
+def test_on_error_keep(spark, poison, doc, plan):
+    """keep-policy parity across every physical plan (VERDICT r03 #8: the
+    nested plans honor the poison policy instead of rejecting it)."""
     spans = sanitize_spans(spark, doc, on_error="keep",
-                           salt_buckets=2).collect()[0]["spans"]
+                           **plan).collect()[0]["spans"]
     assert [s["text"] for s in spans] == ["<p>ok</p>", "<p>BOOM</p>"]
 
 
-def test_on_error_null(spark, poison, doc):
+@pytest.mark.parametrize("plan", _PLANS, ids=_PLAN_IDS)
+def test_on_error_null(spark, poison, doc, plan):
     spans = sanitize_spans(spark, doc, on_error="null",
-                           salt_buckets=2).collect()[0]["spans"]
+                           **plan).collect()[0]["spans"]
     assert [s["text"] for s in spans] == ["<p>ok</p>", None]
+
+
+@pytest.mark.parametrize("plan", _PLANS[1:], ids=_PLAN_IDS[1:])
+def test_on_error_raise_on_nested_plans(spark, poison, doc, plan):
+    with pytest.raises(Exception):
+        sanitize_spans(spark, doc, **plan).collect()
 
 
 def test_on_error_raise_default(spark, poison, doc):
@@ -134,19 +152,52 @@ def test_nested_pandas_and_arrow_agree(spark):
     df.unpersist()
 
 
-def test_nested_plan_rejects_exploded_only_knobs(spark, doc):
-    """on_error/memoize only exist on the exploded plan; an explicit nested
-    run must fail loudly instead of silently reverting to raise-semantics
-    (ADVICE r02)."""
-    with pytest.raises(ValueError, match="exploded"):
-        sanitize_spans(spark, doc, explode=False, on_error="keep")
-    with pytest.raises(ValueError, match="exploded"):
-        sanitize_spans(spark, doc, explode=False, memoize=10)
+def test_arrow_with_errors_counts_poison_per_doc(spark, poison, doc):
+    """Nested quarantine visibility (VERDICT r03 #8): with_errors=True
+    appends a per-document n_span_errors count computed from the list
+    offsets — the nested analog of the exploded frame's span_error flag."""
+    from html_sanitizer_spark.functions.udfs import sanitize_spans_arrow
+
+    clean_doc = spark.createDataFrame(
+        [{"doc_id": "c", "spans": [
+            {"kind": "text", "text": "<p>fine</p>", "media_ref": "",
+             "offset": 0},
+        ]}],
+        schema=DOC_SCHEMA,
+    )
+    out = sanitize_spans_arrow(doc.union(clean_doc), on_error="keep",
+                               with_errors=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["d"]["n_span_errors"] == 1
+    assert rows["c"]["n_span_errors"] == 0
+    assert [s["text"] for s in rows["d"]["spans"]] == [
+        "<p>ok</p>", "<p>BOOM</p>"
+    ]
+    # with_errors under raise-policy is a contradiction: reject loudly
+    with pytest.raises(ValueError, match="with_errors"):
+        sanitize_spans_arrow(doc, with_errors=True)
 
 
-def test_auto_plan_with_knobs_resolves_exploded(spark, poison, doc):
-    """explode='auto' + on_error must pick the exploded plan (the only one
-    honoring the policy), not drop the knob based on the skew probe."""
+def test_nested_plans_memoize_through_worker_cache(spark):
+    """memoize on the nested plans routes through the shared bounded
+    worker cache (same fingerprint machinery as the exploded path)."""
+    df = spark.createDataFrame(
+        [{"doc_id": str(i), "spans": [
+            {"kind": "text", "text": "<b>same</b>", "media_ref": "",
+             "offset": 0},
+        ]} for i in range(12)],
+        schema=DOC_SCHEMA,
+    )
+    for kwargs in ({"nested_impl": "arrow"}, {"nested_impl": "pandas"}):
+        out = sanitize_spans(spark, df, explode=False, memoize=64, **kwargs)
+        texts = {r["spans"][0]["text"] for r in out.collect()}
+        assert texts == {"<strong>same</strong>"}
+
+
+def test_auto_plan_with_knobs_honors_policy(spark, poison, doc):
+    """explode='auto' + on_error: whichever physical plan the skew probe
+    picks (nested, for this 2-span doc) must honor the poison policy —
+    both plans implement it now (VERDICT r03 #8)."""
     spans = sanitize_spans(spark, doc, explode="auto", on_error="keep",
                            salt_buckets=2).collect()[0]["spans"]
     assert any("BOOM" in (s["text"] or "") for s in spans)
