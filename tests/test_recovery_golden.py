@@ -54,6 +54,44 @@ RECOVERY_GOLDEN = [
     ("<a href='/x'><a href='/y'>double anchor</a></a>",
      '<a href="/x"></a><a href="/y">double anchor</a>'),
     ("<p title='unterminated>x</p><p>next</p>", ""),
+    # --- round-4 additions (VERDICT r03 #6): foreign content, CDATA/RCDATA
+    # escapes, attribute-quote edges — each hand-derived from the tokenizer
+    # rules and reviewed for the security contract ---
+    # script is a KILL tag even nested in (unwrapped) foreign content
+    ("<svg><script>alert(1)</script></svg>x", "x"),
+    # handler attribute dropped when foreignObject/p re-enter HTML content
+    ("<svg><foreignObject><p onclick=x>fo</p></foreignObject></svg>",
+     "<p>fo</p>"),
+    # javascript: href dies WITH the unwrapped math tag; inline markup maps
+    ('<math href="javascript:alert(1)"><mtext><b>bold</b></mtext></math>',
+     "<strong>bold</strong>"),
+    # style CDATA/comment trick: style kills to the FIRST </style>, the
+    # inner script element is killed too, the dangling --> is inert text
+    ("<style><!--</style><script>evil()</script>--></style><p>ok</p>",
+     "--&gt;<p>ok</p>"),
+    # script comment-escape: everything to the first real </script> is
+    # script data and dies with it; no executable text survives
+    ("<script><!--<script>nested()</script>--></script><p>tail</p>",
+     "--&gt;<p>tail</p>"),
+    ("<script>var s = \"</scr\" + \"ipt>\";</script><p>z</p>", "<p>z</p>"),
+    # '>' inside a QUOTED attribute value must not end the tag
+    ('<p title="a>b">content</p>', "<p>content</p>"),
+    # mixed quoting: double quote inside single-quoted value is value text
+    ("<p foo='single\"double'>q</p>", "<p>q</p>"),
+    # unquoted attribute values: allowed href survives, handler dies
+    ("<a href=/x onclick=alert(1)>bare</a>", '<a href="/x">bare</a>'),
+    # CDATA inside (unwrapped) foreign content is still a bogus comment
+    # ending at the first '>': it swallows the <b open tag
+    ("<svg><![CDATA[<b>not bold</b>]]></svg>tail", "not bold]]&gt;tail"),
+    # comment-start inside RCDATA is literal text, entity-escaped out
+    ("<textarea><!--</textarea><p>after</p>", "&lt;!--<p>after</p>"),
+    # duplicate (disallowed) attributes both vanish; tag renames
+    ("<b x=y x=z>dup attr</b>", "<strong>dup attr</strong>"),
+    # svg desc content re-enters HTML and unwraps cleanly inside a p
+    ("<p><svg><desc><em>d</em></desc></svg>after</p>",
+     "<p><em>d</em>after</p>"),
+    # slash-space "self-closing" p is an open tag with a stray solidus
+    ("<p/ >self</p>", "<p>self</p>"),
 ]
 
 
