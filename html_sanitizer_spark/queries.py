@@ -636,6 +636,19 @@ def _neardup_labels(
     # dropping the stored data would be unrecoverable)
     labels_unpersistable = True
     converged = False
+    # Convergence signal (r04 rework): under min-propagation every vertex's
+    # label is monotonically NON-INCREASING, so the labels are a fixpoint
+    # iff sum(root) is unchanged — one aggregate on the new frame replaces
+    # the old per-round join-with-previous + filter + count (which shuffled
+    # both label generations every round just to detect the fixpoint).
+    # decimal(38,0): exact at any scale (10^12 ids x 10^12 docs overflows
+    # int64's 9.2e18; decimal sums never wrap). The full aggregate also
+    # deliberately materializes EVERY partition of the new cache — a
+    # limit(1) probe caches only partitions it touches, and later rounds
+    # silently recompute the rest through the whole upstream chain
+    # (measured r03: round times grew 4.7s -> 11.3s -> 82.5s).
+    as_dec = F.sum(F.col("root").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(as_dec).collect()[0]["s"]
     for i in range(max_rounds):
         prop = edges.join(
             labels, edges["doc_a"] == labels["doc"]
@@ -651,25 +664,14 @@ def _neardup_labels(
         else:
             new_labels = new_labels.persist()
             new_unpersistable = True
-        # Full count, deliberately NOT limit(1): a limited probe computes
-        # (and caches) only the partitions it touches, so every later round
-        # silently recomputes the uncached rest — through the whole verify
-        # join once the prior round is unpersisted (measured: round times
-        # grew 4.7s -> 11.3s -> 82.5s on a 20k-doc corpus). The full count
-        # materializes every partition of new_labels into the cache and is
-        # O(labels) — trivial next to one propagation round.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.root") != F.col("o.root"))
-            .count()
-        )
+        new_sum = new_labels.agg(as_dec).collect()[0]["s"]
         if labels_unpersistable:
             labels.unpersist()
         labels, labels_unpersistable = new_labels, new_unpersistable
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         pairs.unpersist()
         edges.unpersist()
@@ -804,51 +806,46 @@ def q_dedup_verified(spark, sf_dir):
     _dedup_verify_caches.append(pairs)
     d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 3))
     # Only docs that appear in a candidate pair need shingles: semi-join the
-    # shingle table down to that set BEFORE the exploded volume is shuffled.
-    # At the sf tables this is a wash (most docs are in some pair); at 100TB
-    # the candidate-participating set is a small fraction of the corpus, so
-    # this cuts the intersection join's input by orders of magnitude.
-    # Restricting sizes the same way changes nothing: output rows only ever
-    # reference pair members, and each member's n_sh is its full count.
+    # shingle table down to that set BEFORE anything is shuffled. At the sf
+    # tables this is a wash (most docs are in some pair); at 100TB the
+    # candidate-participating set is a small fraction of the corpus, so
+    # this cuts the verify joins' input by orders of magnitude.
     in_pairs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # Per-doc DISTINCT shingle SETS kept as sorted array columns (r04
+    # rework): the old shape exploded one row per (pair, shingle-of-a) and
+    # shuffled that into an equi join on (doc_b, shingle) — ~pairs x |doc|
+    # rows (measured ~150M rows / 59 s on the 20k-doc dedup bench, the
+    # chain's hottest stage). Keeping each set as one array row makes the
+    # intersection a per-pair JVM expression (array_intersect) and every
+    # shuffle O(pairs) ROWS. A doc's array still ships once per pair it
+    # participates in — the same bytes the exploded join moved, minus the
+    # row-explosion and the extra aggregate. Array size is bounded by the
+    # doc's distinct 3-gram count; the LSH bucket cap already bounds how
+    # many pairs a hot doc joins.
     sh = d.join(in_pairs, "doc_id", "left_semi").select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr("transform(sequence(1, greatest(length(text)-2, 1)),"
-                       " i -> substring(text, i, 3))")
-            )
-        ).alias("shingle"),
-    ).persist()  # consumed 3x below (sizes + both join sides): shingle once
+        F.array_distinct(
+            F.expr("transform(sequence(1, greatest(length(text)-2, 1)),"
+                   " i -> substring(text, i, 3))")
+        ).alias("sh"),
+    ).persist()  # consumed 2x below (both pair sides): shingle once
     _dedup_verify_caches.append(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # each side is one row per DOCUMENT — no broadcast hint (VERDICT r02
+    # #2); AQE broadcasts at runtime iff genuinely small
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.round(
-        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-        4,
+        n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 4
     )
-    # sa/sb are one row per DOCUMENT — no broadcast hint (VERDICT r02 #2);
-    # AQE broadcasts at runtime iff genuinely small
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b", jac.alias("jaccard"),
-            F.when(jac >= 0.7, 1).otherwise(0).alias("is_dup"),
-        )
+    return joined.select(
+        "doc_a", "doc_b", jac.alias("jaccard"),
+        F.when(jac >= 0.7, 1).otherwise(0).alias("is_dup"),
     )
 
 

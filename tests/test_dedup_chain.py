@@ -99,7 +99,14 @@ def test_dedup_verified_caches_do_not_accumulate(spark):
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
     Q.release_dedup_verify_caches()
+    # Earlier tests leave localCheckpoint RDDs behind that the async
+    # ContextCleaner may GC BETWEEN the two counts below, shifting the
+    # baseline mid-test. Drain everything so base is 0 and immovable.
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
     base = n_persistent()
+    assert base == 0
     Q.q_dedup_verified(spark, SF).count()
     assert len(Q._dedup_verify_caches) == 2
     after_first = n_persistent()
