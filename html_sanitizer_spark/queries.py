@@ -990,6 +990,146 @@ FROM documents GROUP BY 1
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup — the FIRST stage of every
+    web-crawl training pipeline (CommonCrawl-style): the same page arrives
+    under mixed-case hosts, www. prefixes, trailing slashes, tracking
+    params, and fragments. Synthesize four deterministic variants of one
+    logical page per group of 4 doc_ids (the group's host is derived from
+    the group key so variants genuinely collide), canonicalize with pure
+    JVM string/regex expressions, then keep the first doc per canonical
+    URL.
+
+    Canonicalization (same rule chain in the DuckDB twin): strip fragment;
+    drop utm_* tracking params (mid-query then trailing, preserving real
+    params like id=7); lowercase the host; drop a leading www.; strip a
+    trailing path slash. Note the ?id=7 variant correctly does NOT
+    collapse into the bare page — non-tracking params are meaningful.
+
+    100 TB shape: everything is map-side except ONE hash shuffle on the
+    canonical URL for the first-occurrence window — the plan you'd ship
+    for crawl-scale URL dedup (no global sort, no self-join)."""
+    d = _docs(spark, sf_dir)
+    k = F.expr("doc_id div 4")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    host = F.concat(F.lit("h"), F.pmod(k, F.lit(50)).cast("string"),
+                    F.lit(".example.org"))
+    page = F.concat(F.lit("/a/"), k.cast("string"))
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, page))
+        .when(v == 1, F.concat(F.lit("https://WWW."), F.upper(host), page,
+                               F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), host, page,
+                               F.lit("?id=7&utm_source=feed&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://"), host, page, F.lit("#top")))
+    )
+    u = F.regexp_replace(raw, r"#.*$", "")
+    u = F.regexp_replace(u, r"([?&])utm_[^&#]*&", "$1")
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*$", "")
+    h = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^https?://([^/?#]+)", 1)), r"^www\.", "")
+    rest = F.regexp_replace(
+        F.regexp_replace(u, r"^https?://[^/?#]+", ""), r"([^/])/$", "$1")
+    canon = F.concat(F.lit("https://"), h, rest)
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    return (
+        d.select("doc_id", raw.alias("url"), canon.alias("canon_url"))
+        .withColumn(
+            "keep",
+            F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+
+
+_ORACLE_URL_DEDUP = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://h' || ((doc_id // 4) % 50)::VARCHAR
+                    || '.example.org/a/' || (doc_id // 4)::VARCHAR
+           WHEN 1 THEN 'https://WWW.' || upper('h' || ((doc_id // 4) % 50)::VARCHAR
+                    || '.example.org') || '/a/' || (doc_id // 4)::VARCHAR || '/'
+           WHEN 2 THEN 'https://h' || ((doc_id // 4) % 50)::VARCHAR
+                    || '.example.org/a/' || (doc_id // 4)::VARCHAR
+                    || '?id=7&utm_source=feed&utm_campaign=x'
+           ELSE 'https://h' || ((doc_id // 4) % 50)::VARCHAR
+                    || '.example.org/a/' || (doc_id // 4)::VARCHAR || '#top'
+         END AS url
+  FROM documents),
+c1 AS (SELECT doc_id, url,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(url, '#.*$', '', 'g'),
+                  '([?&])utm_[^&#]*&', '\1', 'g'),
+                '[?&]utm_[^&#]*$', '', 'g') AS u
+       FROM raw),
+c2 AS (SELECT doc_id, url,
+              'https://'
+                || regexp_replace(lower(regexp_extract(u, '^https?://([^/?#]+)', 1)),
+                                  '^www\.', '', 'g')
+                || regexp_replace(regexp_replace(u, '^https?://[^/?#]+', '', 'g'),
+                                  '([^/])/$', '\1', 'g') AS canon_url
+       FROM c1)
+SELECT doc_id, url, canon_url,
+       CASE WHEN row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+            THEN 1 ELSE 0 END AS keep
+FROM c2
+"""
+
+
+def q_domain_quality_filter(spark, sf_dir):
+    """Domain-level quality filtering (RefinedWeb/C4-style): score every
+    HOST by corpus-weighted alphabetic density — ratio of alphabetic chars
+    to total chars over ALL the host's docs, in integer basis points so
+    both engines agree bit-for-bit — then keep docs whose host clears the
+    corpus median.
+
+    100 TB shape: one hash groupBy on host (millions of groups, fine), an
+    exact-median reduce over the SMALL host-stats frame (never over docs),
+    the 1-row threshold crossJoined back (trivially broadcast), and one
+    host-keyed join of docs to host stats — no window over docs, no
+    global sort. Integer arithmetic (sum_alpha * 10000 div sum_chars)
+    keeps the keep-flag boundary deterministic across engines; median of
+    an integer multiset interpolates on halves, exact in doubles."""
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    per_doc = d.select("doc_id", host.alias("host"), alpha.alias("alpha"),
+                       "n_chars")
+    stats = per_doc.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(alpha) * 10000 div sum(n_chars)").alias("q_bp"),
+    )
+    thr = stats.agg(F.expr("percentile(q_bp, 0.5)").alias("thr"))
+    flagged = stats.crossJoin(thr).select(
+        "host", "n_docs", "q_bp",
+        F.when(F.col("q_bp") >= F.col("thr"), F.lit(1)).otherwise(F.lit(0))
+        .alias("keep"),
+    )
+    return (
+        per_doc.select("doc_id", "host")
+        .join(flagged, "host")
+        .select("doc_id", "host", "q_bp", "keep")
+    )
+
+
+_ORACLE_DOMAIN_QUALITY = r"""
+WITH per_doc AS (
+  SELECT doc_id, source || '.example.org' AS host,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
+         n_chars
+  FROM documents WHERE n_chars > 0),
+stats AS (
+  SELECT host, count(*) AS n_docs,
+         (sum(alpha)::BIGINT * 10000) // sum(n_chars)::BIGINT AS q_bp
+  FROM per_doc GROUP BY host),
+thr AS (SELECT quantile_cont(q_bp, 0.5) AS thr FROM stats)
+SELECT p.doc_id, p.host, s.q_bp,
+       CASE WHEN s.q_bp >= t.thr THEN 1 ELSE 0 END AS keep
+FROM per_doc p JOIN stats s USING (host) CROSS JOIN thr t
+"""
+
+
 def q_length_stats(spark, sf_dir):
     """Per-language length distribution (corpus QA stage): exact
     interpolated percentiles + mean/max — the filter-threshold inputs a
@@ -2332,6 +2472,8 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "paragraph_dedup": (q_paragraph_dedup, _ORACLE_PARAGRAPH),
     "pii_scrub": (q_pii_scrub, _ORACLE_PII),
     "url_host_rollup": (q_url_host_rollup, _ORACLE_URL_HOST),
+    "url_dedup": (q_url_dedup, _ORACLE_URL_DEDUP),
+    "domain_quality_filter": (q_domain_quality_filter, _ORACLE_DOMAIN_QUALITY),
     "length_stats": (q_length_stats, _ORACLE_LENGTH_STATS),
     "simhash64": (q_simhash, _ORACLE_SIMHASH),
     "lang_id": (q_lang_id, _ORACLE_LANG),
