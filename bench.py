@@ -214,10 +214,63 @@ def _one_shot_scaling(sf_dir: str, cpus: int) -> None:
     spark.stop()
 
 
+_CONTROL_TEXT = (
+    "<p>Hello <b>world</b> this is a fragment with "
+    "<a href='https://x.org/a'>a link</a> and some more text to chew on.</p>"
+) * 3
+
+
+def _control_work(n: int) -> float:
+    """One control worker: sanitize a fixed fragment n times, pure Python."""
+    from html_sanitizer_spark.engine.core import sanitize
+    from html_sanitizer_spark.engine.settings import Settings
+
+    s = Settings()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        sanitize(_CONTROL_TEXT, s)
+    return time.perf_counter() - t0
+
+
+def _cpu_control(low: int, high: int, per_proc: int = 3000,
+                 rounds: int = 3) -> dict:
+    """Embarrassingly-parallel CPU control: the pure-Python sanitize kernel
+    under multiprocessing — NO Spark, NO shuffles, NO coordination, so its
+    low->high efficiency is the HOST's raw CPU-scaling ceiling under the
+    co-tenant load of the same minutes the pipeline legs ran in. A
+    virtualized shared box does not hand out 4x cycles from 4->16 vCPUs
+    (hypervisor scheduling + frequency behavior), and no pipeline can scale
+    better than the cycles it is given; pipeline efficiency is therefore
+    also reported normalized to this ceiling. Interleaved best-of like the
+    pipeline legs."""
+    import multiprocessing as mp
+
+    best: dict[int, float] = {}
+    for _ in range(rounds):
+        for procs in (low, high):
+            with mp.Pool(procs) as pool:
+                t0 = time.perf_counter()
+                pool.map(_control_work, [per_proc] * procs)
+                rate = procs * per_proc / (time.perf_counter() - t0)
+            if procs not in best or rate > best[procs]:
+                best[procs] = rate
+    eff = round((best[high] / best[low]) / (high / low), 3)
+    return {
+        "what": "pure-Python sanitize kernel via multiprocessing.Pool — "
+                "no Spark; measures the host's raw low->high CPU scaling "
+                "under current co-tenant load",
+        "low_docs_per_sec": round(best[low], 1),
+        "high_docs_per_sec": round(best[high], 1),
+        "efficiency": eff,
+    }
+
+
 def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
     """Interleave low/high legs across rounds and keep the best per level:
     the sandbox host is shared, so a single leg can be throttled by
-    co-tenants; interleaving samples both levels under comparable load."""
+    co-tenants; interleaving samples both levels under comparable load.
+    A no-Spark CPU control run in the same minutes separates host throttle
+    from pipeline serial fraction (see _cpu_control)."""
     legs: dict[int, dict] = {}
     for _ in range(rounds):
         for cpus in (low, high):
@@ -231,6 +284,7 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
                 legs[cpus] = leg
     t_low, t_high = legs[low]["sec"], legs[high]["sec"]
     efficiency = round((t_low / t_high) / (high / low), 3)
+    control = _cpu_control(low, high)
     return {
         "workload": "sanitize_docs_exploded",
         "sf": sf_dir,
@@ -239,8 +293,13 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
         "speedup": round(t_low / t_high, 3),
         "ideal_speedup": high / low,
         "scaling_efficiency": efficiency,
+        "cpu_control": control,
+        "normalized_efficiency": round(efficiency / control["efficiency"], 3)
+        if control["efficiency"] else None,
         "criterion": "efficiency >= 0.8 between N and 4N parallelism "
-                     "(sandbox proxy for N->4N executors, see BASELINE.md)",
+                     "(sandbox proxy for N->4N executors); raw AND "
+                     "normalized to the same-host raw-CPU control ceiling "
+                     "are both reported (see BASELINE.md)",
     }
 
 

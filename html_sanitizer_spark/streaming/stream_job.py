@@ -35,10 +35,12 @@ from ..pipeline.synth import DOC_SCHEMA
 __all__ = [
     "stream_sanitize_parquet_dir",
     "stream_event_window_rollup",
+    "stream_dedup_exact",
     "start_stream",
     "write_epoch",
     "read_stream_output",
     "EVENT_SCHEMA",
+    "DEDUP_FEED_SCHEMA",
 ]
 
 EVENT_SCHEMA = T.StructType(
@@ -140,6 +142,60 @@ def stream_event_window_rollup(
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+DEDUP_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: emit only the FIRST arrival of each content
+    digest (streaming twin of queries.q_dedup_exact — arrival order
+    replaces min(doc_id) as the keeper tiebreak, identical when the feed
+    arrives in doc_id order; pinned by tests/test_streaming_dedup.py).
+
+    ``watermark=None`` -> ``dropDuplicates`` on the digest: exact global
+    dedup. State is one compact row per DISTINCT digest ever seen — the
+    honest minimum for exact dedup over an unbounded feed; the state store
+    is digest-hash-partitioned so it scales out with executors (at crawl
+    scale this is the same digest-keyed shard layout you'd back with an
+    external KV).
+
+    ``watermark='1 hour'`` -> ``dropDuplicatesWithinWatermark``: duplicates
+    are suppressed only within the watermark horizon, so entries age out
+    and state is BOUNDED by feed rate x horizon — the production default
+    when re-crawl duplicates cluster in time; a digest re-appearing after
+    the horizon is re-emitted by contract (the test pins both sides)."""
+    src = spark.readStream.schema(DEDUP_FEED_SCHEMA).parquet(input_dir)
+    hashed = src.withColumn("text_hash", F.md5("text"))
+    if watermark is not None:
+        deduped = hashed.withWatermark("ts", watermark)\
+            .dropDuplicatesWithinWatermark(["text_hash"])
+    else:
+        deduped = hashed.dropDuplicates(["text_hash"])
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        write_epoch(batch_df, output_dir, epoch_id)
+
+    writer = (
+        deduped.writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_once:

@@ -1,0 +1,95 @@
+"""Streaming exact dedup (stream_dedup_exact).
+
+Pins both variants:
+- unbounded ``dropDuplicates``: survivors match the batch q_dedup_exact
+  keeper exactly when the feed arrives in doc_id order (differential);
+- bounded ``dropDuplicatesWithinWatermark``: a duplicate inside the
+  horizon is suppressed, a digest re-appearing after its state aged out
+  is re-emitted (the bounded-state contract).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from html_sanitizer_spark.streaming.stream_job import (
+    DEDUP_FEED_SCHEMA,
+    stream_dedup_exact,
+)
+
+
+def _write_feed(spark, path, rows):
+    df = spark.createDataFrame(
+        [{"doc_id": i, "ts": ts, "text": text} for i, ts, text in rows],
+        schema=DEDUP_FEED_SCHEMA,
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, in_dir, out_dir, ckpt, watermark=None):
+    q = stream_dedup_exact(spark, in_dir, out_dir, ckpt, watermark=watermark)
+    q.awaitTermination(120)
+
+
+def test_stream_dedup_matches_batch_keeper(spark, tmp_path):
+    """Differential: feed duplicates in doc_id order across three
+    availableNow runs (each run internally duplicate-free), then the
+    streaming survivors must equal the batch min-doc_id keepers."""
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    t = datetime(2024, 1, 1, 12, 0)
+    runs = [
+        [(0, t, "alpha"), (1, t, "beta"), (2, t, "gamma")],
+        [(10, t, "alpha"), (11, t, "delta"), (12, t, "beta")],
+        [(20, t, "gamma"), (21, t, "delta"), (22, t, "epsilon")],
+    ]
+    all_rows = [r for run in runs for r in run]
+    for run in runs:
+        _write_feed(spark, in_dir, run)
+        _run(spark, in_dir, out_dir, ckpt)
+
+    got = {
+        r["text_hash"]: r["doc_id"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = spark.createDataFrame(
+        [{"doc_id": i, "ts": ts, "text": text} for i, ts, text in all_rows],
+        schema=DEDUP_FEED_SCHEMA,
+    )
+    want = {
+        r["text_hash"]: r["keeper"]
+        for r in batch.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper"))
+        .collect()
+    }
+    assert got == want
+    # exactly one survivor per distinct digest, ever
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == len({r["text_hash"] for r in rows}) == 5
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """Bounded variant: in-horizon duplicates are suppressed; a digest
+    re-appearing after its state entry aged out is re-emitted."""
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    d = datetime
+    # run 1: first sighting of A at 12:00 (+ a same-run in-horizon dup)
+    _write_feed(spark, in_dir, [
+        (0, d(2024, 1, 1, 12, 0), "A"),
+        (1, d(2024, 1, 1, 12, 1), "A"),      # in-horizon dup: suppressed
+        (2, d(2024, 1, 1, 12, 2), "B"),
+    ])
+    _run(spark, in_dir, out_dir, ckpt, watermark="10 minutes")
+    # run 2: advance the watermark far past 12:10 so A's state ages out
+    _write_feed(spark, in_dir, [(3, d(2024, 1, 1, 14, 0), "C")])
+    _run(spark, in_dir, out_dir, ckpt, watermark="10 minutes")
+    # run 3: A re-appears AFTER its state aged out -> re-emitted
+    _write_feed(spark, in_dir, [(4, d(2024, 1, 1, 14, 5), "A")])
+    _run(spark, in_dir, out_dir, ckpt, watermark="10 minutes")
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_doc = sorted(r["doc_id"] for r in rows)
+    # doc 1 (in-horizon dup) suppressed; doc 4 (post-horizon A) re-emitted
+    assert by_doc == [0, 2, 3, 4]
