@@ -64,6 +64,25 @@ _AUTO_CLOSE = {
     "th": frozenset({"td", "th", "tr"}),
 }
 
+# Implied end tags close THROUGH intermediate open elements (HTML5 "in
+# scope" checks; fuzz-found 2026-08: '<a><t><a>' must not build nested
+# anchors just because an unknown — later unwrapped — element sits between
+# them, or the serialized output re-parses differently than the tree that
+# produced it). The scan for a closable ancestor stops at the incoming
+# tag's scope boundary: a new <ul>/<ol> protects an outer <li> (HTML5
+# list-item scope), <dl> protects dt/dd, <table> protects tr/td/th.
+_SCOPE_BARRIER = {
+    "li": frozenset({"ul", "ol"}),
+    "dt": frozenset({"dl"}),
+    "dd": frozenset({"dl"}),
+    "option": frozenset({"select"}),
+    "optgroup": frozenset({"select"}),
+    "tr": frozenset({"table"}),
+    "td": frozenset({"table"}),
+    "th": frozenset({"table"}),
+}
+_NO_BARRIER: frozenset = frozenset()
+
 _ENTITY_RE = re.compile(r"&(?:#(?P<dec>[0-9]+)|#[xX](?P<hex>[0-9a-fA-F]+)|(?P<name>[a-zA-Z][a-zA-Z0-9]*));")
 
 # Control characters libxml2 refuses in text content (the reference filters
@@ -119,13 +138,25 @@ class _TreeBuilder:
             top.text = (top.text or "") + text
 
     def open_tag(self, name: str, attrs: dict, self_closing: bool) -> None:
-        # implicit closes (p-in-p, li-in-li, a-in-a, ...)
-        while len(self.stack) > 1:
-            closers = _AUTO_CLOSE.get(self.stack[-1].tag)
-            if closers and name in closers:
-                self.stack.pop()
-            else:
+        # implicit closes (p-in-p, li-in-li, a-in-a, ...): scan down for an
+        # open element this start tag implies closed — THROUGH intermediate
+        # elements (else '<a><t><a>' builds nested anchors the serialized
+        # output can't round-trip), stopping at the tag's scope barrier
+        # (see _SCOPE_BARRIER). Loop to drain chains ('<ul><li><p><li>':
+        # the li closes the p, then the outer li).
+        barrier = _SCOPE_BARRIER.get(name, _NO_BARRIER)
+        while True:
+            idx = None
+            for i in range(len(self.stack) - 1, 0, -1):
+                tag = self.stack[i].tag
+                if name in _AUTO_CLOSE.get(tag, _NO_BARRIER):
+                    idx = i
+                    break
+                if tag in barrier:
+                    break
+            if idx is None:
                 break
+            del self.stack[idx:]
         el = Element(name, attrs)
         self._top().append(el)
         if name in VOID_ELEMENTS:

@@ -92,6 +92,30 @@ RECOVERY_GOLDEN = [
      "<p><em>d</em>after</p>"),
     # slash-space "self-closing" p is an open tag with a stray solidus
     ("<p/ >self</p>", "<p>self</p>"),
+    # --- round-4 fuzz survivors (600k-example manual campaign): implied
+    # end tags must close THROUGH intermediate elements, else the tree
+    # nests anchors/list-items the serialized output can't round-trip ---
+    # a new <a> closes an open <a> through an intermediate formatting
+    # element; the emptied <b> is dropped (no HTML5 adoption-agency
+    # reconstruction by design — documented simpler recovery)
+    ("<a href='/x'><b><a href='/y'>inner</a></b></a>tail",
+     '<a href="/x"></a><a href="/y">inner</a>tail'),
+    # the original fuzz shape: fullwidth ＞/＜ NFKC-normalize into real tag
+    # brackets pre-parse, the unknown <t> unwraps — the second <a> must
+    # still imply </a> (nested anchors are unreachable)
+    ("<a＞<t>＜a href='/y'>smuggled</a>",
+     '<a></a><a href="/y">smuggled</a>'),
+    # li closes li through an unwrapped block intermediate
+    ("<ul><li><div><li>second</ul>", "<ul><li>second</li></ul>"),
+    # p closes p through an unknown intermediate (div-in-p already closed
+    # p via the block rule; <t> exercises the through-scan)
+    ("<p><t><p>inner</p>", "<p>inner</p>"),
+    # li-through-span, with both items keeping their text
+    ("<ol><li>one<span><li>two</ol>", "<ol><li>one</li><li>two</li></ol>"),
+    # scope barrier: a new <ul> PROTECTS the outer li — legitimate nested
+    # lists must not be flattened by the through-scan
+    ("<ul><li>outer<ul><li>inner</ul></li></ul>",
+     "<ul><li>outer<ul><li>inner</li></ul></li></ul>"),
 ]
 
 
