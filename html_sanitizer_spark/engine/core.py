@@ -108,6 +108,13 @@ def _doc_root(fragment_root: Element) -> Element:
     return wrapper
 
 
+# Any of these chars means the input can reach the tokenizer/serializer
+# non-trivially: '<' opens tags/comments, '&' starts entities, and a bare
+# '>' gets escaped to &gt; on serialize. Checked AFTER unicode
+# normalization, which is what can CREATE them (＜ -> < under NFKC).
+_MARKUP_CHAR_RE = re.compile(r"[<>&]")
+
+
 def sanitize(html: str, settings: Settings | str | None = None) -> str:
     """Sanitize one HTML fragment. ``settings`` may be a Settings instance,
     a registered config name, or None for defaults."""
@@ -116,11 +123,40 @@ def sanitize(html: str, settings: Settings | str | None = None) -> str:
     elif isinstance(settings, str):
         settings = get_settings(settings)
 
-    # stage 1-2: string-level normalization (sanitizer.py:269-279)
+    # stage 1: unicode normalization (sanitizer.py:269-279)
     if settings.keep_typographic_whitespace:
         html = unicodedata.normalize("NFC", html)
     else:
         html = unicodedata.normalize("NFKC", html)
+
+    # Markup-free fast path: with no '<', '>', or '&' in the NORMALIZED
+    # string, the whole tree pipeline is provably the identity on top-level
+    # text — the wrapper <div> holds one text node the fixpoint walk never
+    # visits (it iterates descendants), coarse/strict clean and the post
+    # regexes need tags, entity decode needs '&', and serialize-escape is
+    # the identity without <>&. What remains of stages 2-10 is exactly:
+    # overall whitespace normalization, then the tokenizer's control-char
+    # strip. autolink disqualifies (it DOES linkify root text). Equality
+    # with the tree path is pinned by tests/test_fuzz.py's
+    # test_plain_fast_path_matches_tree_path and the sanitize_text_plain
+    # DuckDB oracle replays the same reduction end-to-end in SQL.
+    if not settings.autolink and not _MARKUP_CHAR_RE.search(html):
+        out = normalize_overall_whitespace(html, settings)
+        # the tokenizer's XML line-ending normalization (parser: \r\n and
+        # \r -> \n before tokenizing) — a no-op in NFKC mode where the \r
+        # whitespace literal was already collapsed, load-bearing under
+        # keep_typographic_whitespace (golden keep_typographic[1])
+        out = out.replace("\r\n", "\n").replace("\r", "\n")
+        return _CONTROL_RE.sub("", out)
+
+    return _sanitize_tree(html, settings)
+
+
+def _sanitize_tree(html: str, settings: Settings) -> str:
+    """Stages 2-10 on an already unicode-normalized fragment (the tree
+    path; exposed separately so tests can force it on inputs the fast
+    path would claim)."""
+    # stage 2: overall whitespace normalization (sanitizer.py:269-279)
     html = normalize_overall_whitespace(html, settings)
 
     # stage 3-4: wrap + parse (sanitizer.py:280-287)

@@ -82,6 +82,9 @@ _SCOPE_BARRIER = {
     "th": frozenset({"table"}),
 }
 _NO_BARRIER: frozenset = frozenset()
+# Start tags that can imply ANY close — everything else (b, em, span, ...)
+# skips the stack scan entirely (hot path: most opens close nothing).
+_CAN_CLOSE = frozenset().union(*_AUTO_CLOSE.values())
 
 _ENTITY_RE = re.compile(r"&(?:#(?P<dec>[0-9]+)|#[xX](?P<hex>[0-9a-fA-F]+)|(?P<name>[a-zA-Z][a-zA-Z0-9]*));")
 
@@ -144,19 +147,20 @@ class _TreeBuilder:
         # output can't round-trip), stopping at the tag's scope barrier
         # (see _SCOPE_BARRIER). Loop to drain chains ('<ul><li><p><li>':
         # the li closes the p, then the outer li).
-        barrier = _SCOPE_BARRIER.get(name, _NO_BARRIER)
-        while True:
-            idx = None
-            for i in range(len(self.stack) - 1, 0, -1):
-                tag = self.stack[i].tag
-                if name in _AUTO_CLOSE.get(tag, _NO_BARRIER):
-                    idx = i
+        if name in _CAN_CLOSE and len(self.stack) > 1:
+            barrier = _SCOPE_BARRIER.get(name, _NO_BARRIER)
+            while True:
+                idx = None
+                for i in range(len(self.stack) - 1, 0, -1):
+                    tag = self.stack[i].tag
+                    if name in _AUTO_CLOSE.get(tag, _NO_BARRIER):
+                        idx = i
+                        break
+                    if tag in barrier:
+                        break
+                if idx is None:
                     break
-                if tag in barrier:
-                    break
-            if idx is None:
-                break
-            del self.stack[idx:]
+                del self.stack[idx:]
         el = Element(name, attrs)
         self._top().append(el)
         if name in VOID_ELEMENTS:

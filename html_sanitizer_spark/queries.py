@@ -1606,6 +1606,11 @@ def q_sanitize_text_plain(spark, sf_dir):
         (~F.col("text").rlike("[<>&\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"))
         & F.col("text").rlike("^[\\x20-\\x7e\\t\\n\\r]*$")
         & (F.length(F.trim(F.col("text"))) > 0)
+        # marker-leading text ('* foo' / '- foo') triggers the li-marker
+        # strip inside <p> (reference semantics) — outside the
+        # plain-reduction subset, so excluded in BOTH engines (r04
+        # hardening; found by the plain-subset hypothesis property)
+        & (~F.col("text").rlike("^\\s*[-*]\\s"))
     )
     spans = plain.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -1634,6 +1639,7 @@ FROM documents
 WHERE NOT regexp_matches(text, '[<>&\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')
   AND regexp_matches(text, '^[\x20-\x7e\t\n\r]*$')
   AND len(trim(text)) > 0
+  AND NOT regexp_matches(text, '^\s*[-*]\s')
 """
 
 

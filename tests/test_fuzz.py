@@ -229,3 +229,33 @@ def test_random_settings_matrix(seed, html):
     if ov["add_nofollow"] and "a" in s.tags:
         for m in re.finditer(r"<a\s[^>]*href=\"https?://[^\"]*\"[^>]*>", out):
             assert "nofollow" in m.group(0), (html, m.group(0))
+
+
+_PLAINISH = st.text(
+    alphabet=(
+        "abAB \xa0’ﬁ｡😀 \n\t\r\x00\x01\x0b\x7f.-_:/h t p s w"
+        "＜＞"  # fullwidth brackets NFKC into real ones -> must DISQUALIFY
+    ),
+    max_size=300,
+)
+
+
+@given(st.integers(0, 2**32 - 1), _PLAINISH)
+@hsettings(max_examples=300, deadline=None)
+def test_plain_fast_path_matches_tree_path(seed, text):
+    """The markup-free fast path must be byte-identical to the full tree
+    pipeline on every input it claims (r04: the claim is checked on the
+    NORMALIZED string, so NFKC-created brackets fall through to the tree
+    path), for every valid configuration."""
+    import unicodedata
+
+    from html_sanitizer_spark.engine import core
+
+    s, _ = _settings_from_seed(seed)
+    form = "NFC" if s.keep_typographic_whitespace else "NFKC"
+    normalized = unicodedata.normalize(form, text)
+    if s.autolink or core._MARKUP_CHAR_RE.search(normalized):
+        return  # fast path does not claim this input
+    assert sanitize(text, s) == core._sanitize_tree(normalized, s), (
+        text, normalized,
+    )
