@@ -2258,6 +2258,75 @@ ORDER BY df DESC, cf DESC, w ASC LIMIT 20
 """
 
 
+def q_oov_quality_filter(spark, sf_dir):
+    """Vocabulary-coverage quality filter (CCNet-style): score every doc
+    by its out-of-vocabulary token ratio against the corpus's own top-100
+    vocabulary head, keep docs under the 50% OOV threshold. Integer token
+    counts + one exact IEEE division keep the keep-flag boundary
+    engine-deterministic (the threshold compares the ROUNDED ratio).
+
+    Shape at scale: the vocabulary head is a 100-row TakeOrderedAndProject
+    (never a global vocab sort) that AQE broadcasts into the token join;
+    the only big shuffles are the token-keyed vocab groupBy and the final
+    per-doc aggregation — the same two exchanges any corpus-frequency
+    filter needs at 100 TB. No forced broadcast hints."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        tok.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("cf"), F.asc("w"))
+        .limit(100)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    oov_ratio = F.round(F.col("n_oov") / F.col("n_tokens"), 4)
+    return (
+        tok.join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov", oov_ratio.alias("oov_ratio"),
+            F.when(oov_ratio <= 0.5, 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
+_ORACLE_OOV = """
+WITH tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents WHERE n_chars > 0)
+  WHERE w <> ''),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, count(DISTINCT doc_id) AS df, count(*) AS cf
+    FROM tok GROUP BY w
+    ORDER BY df DESC, cf DESC, w ASC LIMIT 100)),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (w)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov::DOUBLE / n_tokens, 4) AS oov_ratio,
+       CASE WHEN round(n_oov::DOUBLE / n_tokens, 4) <= 0.5 THEN 1 ELSE 0 END
+         AS keep
+FROM scored
+"""
+
+
 def q_repetition_score(spark, sf_dir):
     """Within-document repetition signals (Gopher-style quality rules):
     duplicate word fraction and duplicate word-trigram fraction are
@@ -2512,6 +2581,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED),
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB),
+    "oov_quality_filter": (q_oov_quality_filter, _ORACLE_OOV),
     "repetition_score": (q_repetition_score, _ORACLE_REPETITION),
 }
 
