@@ -265,3 +265,47 @@ def test_seq_packing_output_emits_real_sequences(spark):
     ).collect()[0]["n"]
     assert total == expect
     out.unpersist()
+
+
+def test_url_dedup_single_window_exchange_no_sort_or_cartesian(spark):
+    """url_dedup's 100TB claim: all map-side except ONE hash exchange on
+    the canonical URL feeding the first-occurrence window; no global Sort
+    (the window's sort is partition-local under hashpartitioning) and no
+    cartesian/nested-loop join anywhere."""
+    from html_sanitizer_spark.queries import q_url_dedup
+
+    plan = _plan(q_url_dedup(spark, SF))
+    assert plan.count("Exchange hashpartitioning(canon_url") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # the only Sort is the window's partition-local one (global=false)
+    import re
+
+    for m in re.finditer(r"Sort \[.*?\], (true|false)", plan):
+        assert m.group(1) == "false", plan
+
+
+def test_domain_quality_filter_no_window_over_docs(spark):
+    """domain_quality_filter's 100TB claim: the threshold comes from an
+    aggregate over the SMALL host-stats frame, never a Window over the
+    docs; no global Sort; no forced broadcast hints (cross join of the
+    1-row threshold is a BroadcastNestedLoop by necessity and stays)."""
+    from html_sanitizer_spark.queries import q_domain_quality_filter
+
+    plan = _plan(q_domain_quality_filter(spark, SF))
+    assert "Window" not in plan, plan
+    import re
+
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
+
+
+def test_oov_filter_vocab_head_is_take_ordered(spark):
+    """oov_quality_filter's 100TB claim: the vocabulary head is a
+    TakeOrderedAndProject (bounded top-k), never a global Sort of the
+    vocabulary."""
+    from html_sanitizer_spark.queries import q_oov_quality_filter
+
+    plan = _plan(q_oov_quality_filter(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    import re
+
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
