@@ -259,3 +259,56 @@ def test_plain_fast_path_matches_tree_path(seed, text):
     assert sanitize(text, s) == core._sanitize_tree(normalized, s), (
         text, normalized,
     )
+
+
+_DEEP_SOUP_PARTS = [
+    "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>", "<p>", "</p>",
+    "<a href='/x'>", "<a href=\"https://e.org/y\" target=_blank rel=x>",
+    "</a>", "<dl>", "<dt>", "<dd>", "</dl>", "<table>", "<tr>", "<td>",
+    "</table>", "<b>", "</b>", "<em>", "</em>",
+    "<span style='font-weight: bold'>", "</span>", "<div>", "</div>",
+    "<t>", "</t>", "＜a＞", "＜/a＞", "<p title='q>r'>", "<p a=1 a=2 b>",
+    "<a name=n id=i>", "<hr>", "<br>", "<h2>", "</h2>",
+    "text ", "* ", "- ", "&amp;", "&#183; ", " ", "\r\n", "\t",
+]
+
+
+@given(st.lists(st.sampled_from(_DEEP_SOUP_PARTS), max_size=120))
+@hsettings(max_examples=250, deadline=None)
+def test_deep_soup_converges_monotonically(parts):
+    """Deep soup with list markers and unwrapped containers: convergence
+    can take SEVERAL passes — strict unwrap (post-walk) exposes a list
+    marker, stripping it (next pass) exposes emptiness, the empty-drop
+    (pass after) exposes a merge... The REFERENCE has the identical
+    cascade by construction (sanitizer.py:320-350: the empty check runs
+    BEFORE the marker strip within a visit and the strip does not
+    re-enqueue; strict lxml-clean runs after the walk entirely), so
+    two-pass stability is NOT the contract here — bounded monotone
+    convergence is: a fixpoint within 10 passes (worst measured over 80k
+    random inputs: 7), with every intermediate output allowlist-clean.
+    r04 fuzz campaign finding."""
+    html = "".join(parts)
+    prev = sanitize(html, _SETTINGS)
+    for _ in range(10):
+        _assert_clean(html, prev)
+        nxt = sanitize(prev, _SETTINGS)
+        if nxt == prev:
+            break
+        prev = nxt
+    else:
+        raise AssertionError(f"no fixpoint within 10 passes: {html!r}")
+
+
+def test_unwrap_marker_empty_cascade_is_a_reference_artifact():
+    """The minimal 3-pass chain, pinned as equality: '<p><t>* ' — the
+    unknown <t> is unwrapped AFTER the walk (so pass 1 keeps the marker),
+    pass 2's walk strips the marker but the empty check already ran for
+    that element (reference visit order, sanitizer.py:320-350), pass 3
+    drops the now-empty <p>. The reference produces the same chain."""
+    one = sanitize("<p><t>* ", _SETTINGS)
+    assert one == "<p>* </p>"
+    two = sanitize(one, _SETTINGS)
+    assert two == "<p></p>"
+    three = sanitize(two, _SETTINGS)
+    assert three == ""
+    assert sanitize(three, _SETTINGS) == ""
