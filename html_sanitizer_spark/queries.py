@@ -2258,6 +2258,68 @@ ORDER BY df DESC, cf DESC, w ASC LIMIT 20
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup — the shape production dedup actually
+    runs: a NEW batch (deterministic demo split: doc_id % 3 == 0) arrives
+    against an EXISTING corpus (the rest). Each new doc is flagged
+    duplicate-vs-corpus (digest seen in the prior corpus — a left-semi
+    probe) and duplicate-in-batch (not the batch's first occurrence of
+    its digest); keep = neither.
+
+    100 TB shape: one hash join of the batch against the corpus DIGEST
+    INDEX (in production a bucketed/Iceberg digest table — the join key is
+    the digest so the probe co-partitions with the index; never a scan of
+    corpus text) + one window over the batch's own digests (batch-sized,
+    small). The corpus side here projects digest only, so column pruning
+    reaches the scan."""
+    d = _docs(spark, sf_dir)
+    new = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    )
+    prior = (
+        d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+        .select(F.md5(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    seen = prior.withColumn("dup_vs_prior", F.lit(1))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        new.join(seen, "digest", "left")
+        .withColumn(
+            "dup_vs_prior",
+            F.when(F.col("dup_vs_prior").isNotNull(), 1).otherwise(0),
+        )
+        .withColumn(
+            "dup_in_batch",
+            F.when(F.row_number().over(w) == 1, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .select(
+            "doc_id", "digest", "dup_vs_prior", "dup_in_batch",
+            F.when(
+                (F.col("dup_vs_prior") == 0) & (F.col("dup_in_batch") == 0), 1
+            ).otherwise(0).alias("keep"),
+        )
+    )
+
+
+_ORACLE_DEDUP_INCREMENTAL = """
+WITH new_batch AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 3 = 0),
+prior AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0),
+flagged AS (
+  SELECT n.doc_id, n.digest,
+         CASE WHEN p.digest IS NULL THEN 0 ELSE 1 END AS dup_vs_prior,
+         CASE WHEN row_number() OVER (PARTITION BY n.digest ORDER BY n.doc_id) = 1
+              THEN 0 ELSE 1 END AS dup_in_batch
+  FROM new_batch n LEFT JOIN prior p USING (digest))
+SELECT doc_id, digest, dup_vs_prior, dup_in_batch,
+       CASE WHEN dup_vs_prior = 0 AND dup_in_batch = 0 THEN 1 ELSE 0 END
+         AS keep
+FROM flagged
+"""
+
+
 def q_oov_quality_filter(spark, sf_dir):
     """Vocabulary-coverage quality filter (CCNet-style): score every doc
     by its out-of-vocabulary token ratio against the corpus's own top-100
@@ -2582,6 +2644,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED),
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB),
     "oov_quality_filter": (q_oov_quality_filter, _ORACLE_OOV),
+    "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "repetition_score": (q_repetition_score, _ORACLE_REPETITION),
 }
 

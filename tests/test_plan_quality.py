@@ -309,3 +309,18 @@ def test_oov_filter_vocab_head_is_take_ordered(spark):
     import re
 
     assert not re.search(r"Sort \[.*?\], true", plan), plan
+
+
+def test_incremental_dedup_prunes_corpus_scan_to_digest_inputs(spark):
+    """dedup_incremental's 100TB claim: the corpus side of the probe join
+    reads only what the digest needs (text), never the full row — column
+    pruning reaches the scan — and there is no cartesian join."""
+    from html_sanitizer_spark.queries import q_dedup_incremental
+
+    plan = _plan(q_dedup_incremental(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    # every parquet scan in this plan projects at most (doc_id, text):
+    # lang/source/n_chars never appear in any ReadSchema
+    for chunk in plan.split("ReadSchema: ")[1:]:
+        schema = chunk.splitlines()[0]
+        assert "lang" not in schema and "source" not in schema, plan
