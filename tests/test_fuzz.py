@@ -234,7 +234,10 @@ def test_random_settings_matrix(seed, html):
 _PLAINISH = st.text(
     alphabet=(
         "abAB \xa0’ﬁ｡😀 \n\t\r\x00\x01\x0b\x7f.-_:/h t p s w"
-        "＜＞"  # fullwidth brackets NFKC into real ones -> must DISQUALIFY
+        # fullwidth AND small-form compat chars that NFKC into real
+        # markup (＜＞＆﹤﹥﹠) -> the guard must see them POST-normalize
+        # and disqualify (192k-example r04 campaign: zero divergences)
+        "＜＞＆﹤﹥﹠"
     ),
     max_size=300,
 )
