@@ -136,11 +136,17 @@ def sanitize(html: str, settings: Settings | str | None = None) -> str:
     # regexes need tags, entity decode needs '&', and serialize-escape is
     # the identity without <>&. What remains of stages 2-10 is exactly:
     # overall whitespace normalization, then the tokenizer's control-char
-    # strip. autolink disqualifies (it DOES linkify root text). Equality
-    # with the tree path is pinned by tests/test_fuzz.py's
+    # strip. autolink disqualifies (it DOES linkify root text) — and the
+    # tree path (like sanitizer.py:428-431) runs it for True OR any dict
+    # including the falsy {}, so the guard must test shape, not truthiness.
+    # Equality with the tree path is pinned by tests/test_fuzz.py's
     # test_plain_fast_path_matches_tree_path and the sanitize_text_plain
     # DuckDB oracle replays the same reduction end-to-end in SQL.
-    if not settings.autolink and not _MARKUP_CHAR_RE.search(html):
+    if (
+        settings.autolink is not True
+        and not isinstance(settings.autolink, dict)
+        and not _MARKUP_CHAR_RE.search(html)
+    ):
         out = normalize_overall_whitespace(html, settings)
         # the tokenizer's XML line-ending normalization (parser: \r\n and
         # \r -> \n before tokenizing) — a no-op in NFKC mode where the \r

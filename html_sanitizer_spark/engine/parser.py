@@ -68,18 +68,33 @@ _AUTO_CLOSE = {
 # scope" checks; fuzz-found 2026-08: '<a><t><a>' must not build nested
 # anchors just because an unknown — later unwrapped — element sits between
 # them, or the serialized output re-parses differently than the tree that
-# produced it). The scan for a closable ancestor stops at the incoming
-# tag's scope boundary: a new <ul>/<ol> protects an outer <li> (HTML5
-# list-item scope), <dl> protects dt/dd, <table> protects tr/td/th.
+# produced it). Keyed by the tag BEING CLOSED — HTML5 consults the scope
+# of the element whose implied end tag would be generated, not the
+# incoming tag — so the candidate is protected when one of its barrier
+# elements is open ABOVE it: a new <ul>/<ol> protects an outer <li>
+# (list-item scope), <dl> protects dt/dd, <table> protects tr/td/th,
+# button scope protects <p>, and the table/cell formatting marker
+# protects <a> (ADVICE r04 #3: an <a> open outside a table must not be
+# closed by an <a> inside a td, popping table/tr/td off the stack).
+# HTML5's base "in scope" list — every scope variant includes these; an
+# li/dt/dd close-scan additionally breaks at any "special" element except
+# address/div/p, approximated here by the scope list + the list container
+# + button (the full special list — section, h1, etc. — is intentionally
+# not modeled; documented narrower-barrier approximation).
+_BASE_SCOPE = frozenset(
+    {"applet", "caption", "table", "td", "th", "marquee", "object", "template"}
+)
 _SCOPE_BARRIER = {
-    "li": frozenset({"ul", "ol"}),
-    "dt": frozenset({"dl"}),
-    "dd": frozenset({"dl"}),
+    "li": _BASE_SCOPE | frozenset({"ul", "ol", "button"}),
+    "dt": _BASE_SCOPE | frozenset({"dl", "button"}),
+    "dd": _BASE_SCOPE | frozenset({"dl", "button"}),
     "option": frozenset({"select"}),
     "optgroup": frozenset({"select"}),
-    "tr": frozenset({"table"}),
-    "td": frozenset({"table"}),
-    "th": frozenset({"table"}),
+    "tr": _BASE_SCOPE,
+    "td": _BASE_SCOPE,
+    "th": _BASE_SCOPE,
+    "p": _BASE_SCOPE | frozenset({"button"}),
+    "a": _BASE_SCOPE,
 }
 _NO_BARRIER: frozenset = frozenset()
 # Start tags that can imply ANY close — everything else (b, em, span, ...)
@@ -144,20 +159,23 @@ class _TreeBuilder:
         # implicit closes (p-in-p, li-in-li, a-in-a, ...): scan down for an
         # open element this start tag implies closed — THROUGH intermediate
         # elements (else '<a><t><a>' builds nested anchors the serialized
-        # output can't round-trip), stopping at the tag's scope barrier
-        # (see _SCOPE_BARRIER). Loop to drain chains ('<ul><li><p><li>':
-        # the li closes the p, then the outer li).
+        # output can't round-trip). A candidate is skipped when one of ITS
+        # scope-barrier elements is open above it (_SCOPE_BARRIER, keyed by
+        # the closed tag): a nested <ul> protects the outer <li>, an open
+        # <td> protects an <a> outside the table. Loop to drain chains
+        # ('<ul><li><p><li>': the li closes the p, then the outer li).
         if name in _CAN_CLOSE and len(self.stack) > 1:
-            barrier = _SCOPE_BARRIER.get(name, _NO_BARRIER)
             while True:
                 idx = None
+                crossed: set = set()
                 for i in range(len(self.stack) - 1, 0, -1):
                     tag = self.stack[i].tag
-                    if name in _AUTO_CLOSE.get(tag, _NO_BARRIER):
+                    if name in _AUTO_CLOSE.get(
+                        tag, _NO_BARRIER
+                    ) and not crossed & _SCOPE_BARRIER.get(tag, _NO_BARRIER):
                         idx = i
                         break
-                    if tag in barrier:
-                        break
+                    crossed.add(tag)
                 if idx is None:
                     break
                 del self.stack[idx:]

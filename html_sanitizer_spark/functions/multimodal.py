@@ -81,6 +81,12 @@ def _decode_netpbm(payload: bytes) -> dict:
         i = j
     i += 1  # exactly one whitespace byte separates header from samples
     width, height, maxval = tokens
+    # only one-byte samples are implemented: maxval=0 is malformed per the
+    # spec, maxval>255 switches netpbm to two-byte big-endian samples —
+    # both must fail the ValueError malformed-payload contract rather than
+    # divide by zero / silently misparse (ADVICE r04 #4)
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval} (need 1..255)")
     depth = 3 if magic == b"P6" else 1
     pixels = payload[i : i + width * height * depth]
     if len(pixels) < width * height * depth:

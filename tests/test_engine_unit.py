@@ -219,6 +219,20 @@ class TestAutolinkKwargs:
         out = sanitize("<p>try go://somewhere now</p>", Settings(cfg))
         assert "<a " in out, out
 
+    def test_empty_dict_still_autolinks_markup_free_input(self):
+        """autolink={} is falsy but means 'autolink with defaults'
+        (sanitizer.py:428-431 runs it for any dict) — the markup-free
+        fast path must not claim such inputs (ADVICE r04 #1: a
+        truthiness guard returned plain text while the tree path
+        linkified)."""
+        out = sanitize("visit http://example.com today", Settings({"autolink": {}}))
+        assert '<a href="http://example.com"' in out, out
+        # and the two paths agree byte-for-byte
+        from html_sanitizer_spark.engine import core
+
+        s = Settings({"autolink": {}})
+        assert out == core._sanitize_tree("visit http://example.com today", s)
+
 
 def test_frozenset_rejected_like_reference():
     """The reference's coerce_to_set accepts set/tuple/list ONLY —

@@ -194,6 +194,18 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             _decode_netpbm(b"P5\n4 4\n255\n" + bytes(3))  # truncated pixels
 
+    def test_netpbm_maxval_out_of_range_is_valueerror(self):
+        """ADVICE r04 #4: maxval=0 must not escape as ZeroDivisionError and
+        maxval>255 (two-byte samples, unimplemented) must not silently
+        misparse one byte per sample — both are ValueError like every
+        other malformed payload."""
+        from html_sanitizer_spark.functions.multimodal import _decode_netpbm
+
+        with pytest.raises(ValueError, match="maxval"):
+            _decode_netpbm(b"P5\n2 2\n0\n" + bytes(4))
+        with pytest.raises(ValueError, match="maxval"):
+            _decode_netpbm(b"P5\n2 2\n65535\n" + bytes(8))
+
     def test_strict_decoder_parses_wav_for_real(self):
         """Chunk-walking WAV parse: an extra LIST chunk before data must
         not break frame sizing (real files have them)."""

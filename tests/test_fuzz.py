@@ -206,7 +206,16 @@ def _settings_from_seed(seed: int):
         "attributes": attrs,
         "keep_typographic_whitespace": rng.random() < 0.3,
         "add_nofollow": rng.random() < 0.3,
-        "autolink": rng.random() < 0.3,
+        # all four public shapes — False / True / {} / kwargs dict. The
+        # falsy {} is load-bearing: the tree path runs autolink for ANY
+        # dict (sanitizer.py:428-431), so a truthiness-based fast-path
+        # guard silently diverges on it (ADVICE r04 #1).
+        "autolink": (
+            False if (r := rng.random()) < 0.55
+            else True if r < 0.75
+            else {} if r < 0.9
+            else {"avoid_hosts": []}
+        ),
     }
     return Settings(ov), ov
 

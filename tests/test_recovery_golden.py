@@ -116,7 +116,44 @@ RECOVERY_GOLDEN = [
     # lists must not be flattened by the through-scan
     ("<ul><li>outer<ul><li>inner</ul></li></ul>",
      "<ul><li>outer<ul><li>inner</li></ul></li></ul>"),
+    # --- round-5 additions (ADVICE r04 #3): HTML5 base-scope barriers ---
+    # a <p> inside a td must not close a <p> open before the table (the
+    # first p was already closed by <table> itself, a _P_CLOSERS member;
+    # the pin guards the td confinement of the second p)
+    ("<p>one<table><td><p>two</table>three", "<p>one</p><p>two</p>three"),
 ]
+
+# Scope-barrier protected trees whose FIRST-pass serialization is nested
+# (the protecting table/td/button is strict-unwrapped away after parsing,
+# exposing a-in-a / p-in-p / li-in-li the next parse flattens) — pinned as
+# two-pass convergence, the engine's documented contract for unwrap
+# cascades (see test_fuzz.py::test_deep_soup_converges_monotonically).
+# Before the r05 barrier fix the first pass here popped table/tr/td off
+# the stack, re-homing cell content outside the table (ADVICE r04 #3).
+BARRIER_CONVERGENCE = [
+    # (input, first-pass output, fixpoint)
+    ("<a href='/x'>out<table><tr><td><a href='/y'>in</a></td></tr></table></a>tail",
+     '<a href="/x">out<a href="/y">in</a></a>tail',
+     '<a href="/x">out</a><a href="/y">in</a>tail'),
+    ("<p>out<button><p>in</button>after",
+     "<p>out<p>in</p>after</p>",
+     "<p>out</p><p>in</p>after"),
+    ("<li>x<table><tr><td><li>y",
+     "<li>x<li>y</li></li>",
+     "<li>x</li><li>y</li>"),
+    ("<ul><li>a<table><td><li>b</table></li></ul>",
+     "<ul><li>a<li>b</li></li></ul>",
+     "<ul><li>a</li><li>b</li></ul>"),
+]
+
+
+def test_scope_barrier_convergence_pins():
+    for html, first, fixpoint in BARRIER_CONVERGENCE:
+        out = sanitize(html, _SETTINGS)
+        assert out == first, (html, out)
+        out2 = sanitize(out, _SETTINGS)
+        assert out2 == fixpoint, (html, out2)
+        assert sanitize(out2, _SETTINGS) == fixpoint, html
 
 
 def test_recovery_golden_equality():
