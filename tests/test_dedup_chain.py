@@ -91,10 +91,11 @@ def test_clusters_match_bruteforce_cc_on_verified_graph(spark):
 
 
 def test_dedup_verified_caches_do_not_accumulate(spark):
-    """ADVICE r03: q_dedup_verified persists two internal frames per
-    invocation; repeated invocations in a long-lived session must release
-    the previous generation (and release_dedup_verify_caches drops the
-    rest)."""
+    """ADVICE r03: q_dedup_verified persists four internal frames per
+    invocation (candidate pairs, pair participants, per-digest shingle
+    arrays, digest-keyed pairs); repeated invocations in a long-lived
+    session must release the previous generation (and
+    release_dedup_verify_caches drops the rest)."""
     def n_persistent():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
@@ -108,16 +109,16 @@ def test_dedup_verified_caches_do_not_accumulate(spark):
     base = n_persistent()
     assert base == 0
     Q.q_dedup_verified(spark, SF).count()
-    assert len(Q._dedup_verify_caches) == 2
+    assert len(Q._dedup_verify_caches) == 4
     after_first = n_persistent()
-    assert after_first == base + 2
+    assert after_first == base + 4
 
     Q.q_dedup_verified(spark, SF).count()
     # previous generation was unpersisted, not accumulated: the persistent
     # block count is FLAT across invocations (object-level storageLevel
     # can't pin this — Spark's cache lookup is by logical plan, and the
     # two invocations build identical plans)
-    assert len(Q._dedup_verify_caches) == 2
+    assert len(Q._dedup_verify_caches) == 4
     assert n_persistent() == after_first
 
     Q.release_dedup_verify_caches()
