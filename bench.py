@@ -346,7 +346,10 @@ def run_big_dedup(cpus: int, n_docs: int) -> dict:
 
     from html_sanitizer_spark.pipeline.session import get_spark
     from html_sanitizer_spark.pipeline.synth import synth_documents_df
-    from html_sanitizer_spark.queries import q_dedup_apply
+    from html_sanitizer_spark.queries import (
+        dedup_verify_cache_scope,
+        q_dedup_apply,
+    )
 
     # the pair-verification join is the memory-heavy stage: size the heap
     # and the shuffle like a real executor would be sized for it (the
@@ -360,7 +363,8 @@ def run_big_dedup(cpus: int, n_docs: int) -> dict:
     synth_documents_df(spark, n_docs, seed=42, partitions=cpus * 4
                        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
     t0 = time.perf_counter()
-    apply_row = q_dedup_apply(spark, tmp).collect()[0]
+    with dedup_verify_cache_scope():
+        apply_row = q_dedup_apply(spark, tmp).collect()[0]
     dt = time.perf_counter() - t0
     spark.stop()
     return {

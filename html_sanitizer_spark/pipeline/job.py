@@ -40,7 +40,13 @@ from ..functions.udfs import (
     sanitize_spans_arrow,
 )
 
-__all__ = ["sanitize_spans", "explode_spans", "reassemble_spans", "lineage_metrics"]
+__all__ = [
+    "sanitize_spans",
+    "explode_spans",
+    "reassemble_spans",
+    "lineage_metrics",
+    "lineage_metrics_nested",
+]
 
 
 def explode_spans(df: DataFrame) -> DataFrame:
@@ -234,4 +240,50 @@ def lineage_metrics(clean: DataFrame) -> DataFrame:
             ),
             err_agg.alias("n_errors"),
         )
+    )
+
+
+def lineage_metrics_nested(clean: DataFrame) -> DataFrame:
+    """Lineage rollup for the NESTED plan (VERDICT r04 #7): same columns
+    as lineage_metrics, computed from the (doc_id, spans[, n_span_errors])
+    frame ``sanitize_spans_arrow(..., with_errors=True)`` returns — the
+    nested path gets the same quarantine/lineage visibility as the
+    exploded frame's span_error flag. All per-row work is map-side array
+    expressions (aggregate/filter over the spans array); the only shuffle
+    is the per-partition groupBy, identical to lineage_metrics. Null span
+    elements count toward n_spans (as in the exploded frame) but toward
+    neither bytes nor media."""
+    has_err = "n_span_errors" in clean.columns
+    spans = F.coalesce(F.col("spans"), F.array())
+    row = clean.select(
+        "doc_id",
+        F.spark_partition_id().alias("part_id"),
+        F.size(spans).alias("_n_spans"),
+        F.aggregate(
+            spans,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.coalesce(
+                F.when(
+                    (s["kind"] == F.lit("text")) & s["text"].isNotNull(),
+                    F.length(s["text"]).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("_text_bytes"),
+        F.size(
+            F.filter(spans, lambda s: s.isNotNull() & (s["kind"] != F.lit("text")))
+        ).alias("_n_media"),
+        (
+            F.coalesce(F.col("n_span_errors"), F.lit(0))
+            if has_err
+            else F.lit(0)
+        ).alias("_n_err"),
+    )
+    return row.groupBy("part_id").agg(
+        F.sum("_n_spans").alias("n_spans"),
+        F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+        F.sum("_text_bytes").alias("text_bytes_out"),
+        F.sum("_n_media").alias("n_media_spans"),
+        F.sum("_n_err").alias("n_errors"),
     )

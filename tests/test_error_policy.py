@@ -258,3 +258,56 @@ def test_edge_span_arrays_agree_across_paths(spark, spans):
     exploded = spans_of(sanitize_spans(spark, df, explode=True,
                                        salt_buckets=2))
     assert arrow == pandas_ == exploded
+
+
+def test_lineage_parity_exploded_vs_nested_arrow(spark, poison):
+    """VERDICT r04 #7: under on_error='keep' with planted poison
+    fragments, the nested arrow plan's partition rollup
+    (lineage_metrics_nested over with_errors=True output) must agree with
+    the exploded plan's lineage_metrics on every corpus-level total —
+    n_errors above all, plus span/media/byte accounting. Partition
+    boundaries differ by plan, so parity is on the summed rollup."""
+    from html_sanitizer_spark.functions.udfs import sanitize_spans_arrow
+    from html_sanitizer_spark.pipeline.job import (
+        explode_spans,
+        lineage_metrics,
+        lineage_metrics_nested,
+        sanitize_exploded,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": "a", "spans": [
+                {"kind": "text", "text": "<p>ok</p>", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "<p>BOOM</p>", "media_ref": "", "offset": 1},
+                {"kind": "image", "text": "", "media_ref": "m://1", "offset": 2},
+            ]},
+            {"doc_id": "b", "spans": [
+                {"kind": "text", "text": "x BOOM y", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "<b>fine</b>", "media_ref": "", "offset": 1},
+            ]},
+            {"doc_id": "c", "spans": [
+                {"kind": "video", "text": "", "media_ref": "m://2", "offset": 0},
+            ]},
+        ],
+        schema=DOC_SCHEMA,
+    )
+
+    def totals(rollup):
+        rows = rollup.collect()
+        return {
+            k: sum(r[k] for r in rows)
+            for k in ("n_spans", "text_bytes_out", "n_media_spans", "n_errors")
+        }
+
+    exploded = sanitize_exploded(
+        explode_spans(docs), None, salt_buckets=4, on_error="keep"
+    )
+    nested = sanitize_spans_arrow(docs, None, on_error="keep",
+                                  with_errors=True)
+    t_exp = totals(lineage_metrics(exploded))
+    t_nest = totals(lineage_metrics_nested(nested))
+    assert t_exp == t_nest, (t_exp, t_nest)
+    assert t_exp["n_errors"] == 2  # both planted BOOMs counted, once each
+    assert t_exp["n_media_spans"] == 2
+    assert t_exp["n_spans"] == 6

@@ -119,6 +119,32 @@ class TestANN:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert all(r["rank"] <= 3 for r in a)
 
+    def test_lsh_auto_width_derived_from_real_count(self, spark, emb,
+                                                    monkeypatch):
+        """VERDICT r04 #4: n_bits=None (the production default) must count
+        the corpus and use auto_n_bits(count) — a caller can't ship the
+        demo width at 10^9 vectors. Asserted by recording the sizing call
+        AND by result equality with an explicit auto-width run."""
+        import html_sanitizer_spark.functions.similarity as sim
+
+        n = emb.count()
+        expected_bits = sim.auto_n_bits(n)
+        calls = []
+        orig = sim.auto_n_bits
+
+        def spy(n_vectors, target_bucket_size=32, **kw):
+            calls.append((n_vectors, target_bucket_size))
+            return orig(n_vectors, target_bucket_size, **kw)
+
+        monkeypatch.setattr(sim, "auto_n_bits", spy)
+        queries = emb.filter(F.col("vec_id") < 3)
+        auto_rows = sim.ann_lsh_topk(emb, queries, n_bits=None).collect()
+        assert calls == [(n, 32)]
+        explicit = sim.ann_lsh_topk(
+            emb, queries, n_bits=expected_bits
+        ).collect()
+        assert sorted(map(tuple, auto_rows)) == sorted(map(tuple, explicit))
+
 
 class TestSimhash:
     def test_similar_docs_close_hamming(self, spark):

@@ -157,3 +157,66 @@ def test_stream_sessionize_absorbs_in_watermark_late_events(spark, tmp_path):
     assert r["sess_start"].strftime("%H:%M") == "09:55"
     assert r["sess_end"].strftime("%H:%M") == "10:10"
     assert r["duration_sec"] == 900
+
+
+def test_cross_batch_backwards_timestamps_differential(spark, tmp_path):
+    """VERDICT r04 #5: the adversarial replay — batch-2 events PRECEDE the
+    stored session starts (start_us must move DOWN across a microbatch
+    boundary) — diffed against batch q_sessionize on the same combined
+    feed, not just against hand-pinned values. Two users regress
+    simultaneously; user 3 interleaves a normal extension."""
+    from pyspark.sql import functions as F
+
+    from html_sanitizer_spark.queries import q_sessionize
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    d = datetime
+
+    # run 1: users 1 and 2 open sessions; user 3's 10:20 event pins the
+    # watermark at 09:50
+    _write_events(spark, in_dir, [
+        (1, d(2024, 1, 1, 10, 0)),
+        (1, d(2024, 1, 1, 10, 10)),
+        (2, d(2024, 1, 1, 10, 5)),
+        (3, d(2024, 1, 1, 10, 20)),
+    ])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    # run 2: BACKWARDS timestamps inside the watermark — user 1 regresses
+    # to 09:55, user 2 to 09:52 (both must pull sess_start down); user 3
+    # extends forward normally in the same batch
+    _write_events(spark, in_dir, [
+        (1, d(2024, 1, 1, 9, 55)),
+        (2, d(2024, 1, 1, 9, 52)),
+        (3, d(2024, 1, 1, 10, 30)),
+    ])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    # run 3: sentinel closes everything
+    _write_events(spark, in_dir, [(999, d(2031, 1, 1))])
+    _run(spark, in_dir, out_dir, ckpt)
+
+    # batch twin over the SAME combined feed (sentinel excluded)
+    sf_dir = str(tmp_path / "sf")
+    (
+        spark.read.parquet(in_dir)
+        .filter(F.col("user_id") != 999)
+        .write.parquet(f"{sf_dir}/events.parquet")
+    )
+    batch = {
+        (r["user_id"], r["n_events"], r["sess_start"], r["sess_end"],
+         r["duration_sec"])
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    fmt = "%Y-%m-%d %H:%M:%S.%f"  # batch emits strings at this format
+    streamed = {
+        (r["user_id"], r["n_events"], r["sess_start"].strftime(fmt),
+         r["sess_end"].strftime(fmt), r["duration_sec"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != 999
+    }
+    assert streamed == batch
+    # and the regression actually happened across the batch boundary
+    starts = {u: s for (u, _n, s, _e, _dur) in streamed}
+    assert starts[1].endswith("09:55:00.000000")
+    assert starts[2].endswith("09:52:00.000000")
