@@ -1,0 +1,140 @@
+"""Targeted parser-recovery fuzz campaign (VERDICT r04 #6 / r04-next #3).
+
+Mines the input classes the r04 campaign showed are productive — foreign
+content (svg/math with HTML-breaking children), CDATA-in-script/style vs
+RCDATA in title/textarea, mis-nested formatting (adoption-agency shapes),
+and the r05 scope-barrier shapes (table/td/button protecting p/a/li) —
+against the engine's hard invariants:
+
+  I1 convergence: sanitize reaches a fixpoint within 10 passes and stays
+     there (the documented bounded-monotone-convergence contract);
+  I2 allowlist: only configured tags appear in any pass's output;
+  I3 hygiene: no control chars, no javascript: URL survives any pass;
+  I4 nofollow contract when configured.
+
+Any violation prints the minimized input and exits non-zero — that is a
+parser/cleaner bug to fix and pin. A clean run prints per-class example
+counts plus a deterministic sample of "interesting" survivors (inputs
+whose first-pass output differs from input AND needs >1 pass to
+stabilize) as pin candidates.
+
+Usage: python scripts/fuzz_campaign.py [n_examples_per_class] [n_procs]
+"""
+
+from __future__ import annotations
+
+import itertools
+import multiprocessing as mp
+import random
+import re
+import sys
+
+from html_sanitizer_spark.engine.core import sanitize
+from html_sanitizer_spark.engine.settings import Settings
+
+CLASSES: dict[str, list[str]] = {
+    "foreign": [
+        "<svg>", "</svg>", "<svg onload=alert(1)>", "<math>", "</math>",
+        "<mi>", "</mi>", "<annotation-xml>", "</annotation-xml>",
+        "<foreignObject>", "</foreignObject>", "<desc>", "</desc>",
+        "<script>evil()</script>", "<![CDATA[", "]]>", "<p>", "</p>",
+        "<b>", "</b>", "<circle r='1'/>", "<use href='#x'/>", "text ",
+        "<a href='/x'>", "</a>", "＜svg＞", "<title>", "</title>",
+    ],
+    "cdata_rcdata": [
+        "<script>", "</script>", "<script src=x>", "<style>", "</style>",
+        "<textarea>", "</textarea>", "<title>", "</title>", "<!--", "-->",
+        "</scr", "ipt>", "<p>", "</p>", "var a='", "';", '"', "'", ">",
+        "<", "&lt;", "<![CDATA[", "]]>", "x ", "p{color:red}",
+    ],
+    "misnested_fmt": [
+        "<b>", "</b>", "<i>", "</i>", "<em>", "</em>", "<strong>",
+        "</strong>", "<p>", "</p>", "<a href='/x'>", "<a href='/y'>",
+        "</a>", "<span style='font-weight: bold'>", "</span>", "<sub>",
+        "</sub>", "<sup>", "</sup>", "x ", "y ", "<h2>", "</h2>", "<br>",
+    ],
+    "scope_barrier": [
+        "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>",
+        "<button>", "</button>", "<caption>", "</caption>", "<li>",
+        "</li>", "<ul>", "</ul>", "<ol>", "</ol>", "<dl>", "<dt>", "<dd>",
+        "</dl>", "<p>", "</p>", "<a href='/x'>", "</a>", "<b>", "</b>",
+        "x ", "* ", "- ",
+    ],
+}
+
+_CONFIGS = [
+    Settings(),
+    Settings({"keep_typographic_whitespace": True}),
+    Settings({"autolink": True, "add_nofollow": True}),
+]
+_TAG_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9]*)")
+_CONTROL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+
+
+def _check_one(args: tuple[str, int, int]) -> tuple[str, str] | None:
+    """Returns (input, violation) on failure, ('PIN', input) for an
+    interesting survivor, None otherwise."""
+    cls, seed, max_parts = args
+    rng = random.Random(seed)
+    parts = CLASSES[cls]
+    html = "".join(rng.choice(parts) for _ in range(rng.randint(1, max_parts)))
+    s = _CONFIGS[seed % len(_CONFIGS)]
+    try:
+        outs = [sanitize(html, s)]
+        for _ in range(11):
+            nxt = sanitize(outs[-1], s)
+            if nxt == outs[-1]:
+                break
+            outs.append(nxt)
+        else:
+            return (html, f"no fixpoint within 10 passes: {outs[-3:]!r}")
+        for o in outs:
+            for m in _TAG_RE.finditer(o):
+                if m.group(1).lower() not in s.tags:
+                    return (html, f"disallowed tag {m.group(1)!r} in {o!r}")
+            if _CONTROL_RE.search(o):
+                return (html, f"control char in {o!r}")
+            if "javascript:" in o.lower().replace(" ", ""):
+                return (html, f"javascript: URL in {o!r}")
+        if len(outs) > 2 and seed % 97 == 0:  # deterministic sample
+            return ("PIN", f"{cls}\t{html!r}\t{outs[0]!r}\t{outs[-1]!r}")
+    except RecursionError:
+        return (html, "RecursionError")
+    except Exception as exc:  # noqa: BLE001 - any crash is a finding
+        return (html, f"{type(exc).__name__}: {exc}")
+    return None
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    procs = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    jobs = [
+        (cls, seed, 40)
+        for cls in CLASSES
+        for seed in range(n)
+    ]
+    failures: list[tuple[str, str]] = []
+    pins: list[str] = []
+    with mp.Pool(procs) as pool:
+        for res in pool.imap_unordered(_check_one, jobs, chunksize=512):
+            if res is None:
+                continue
+            if res[0] == "PIN":
+                pins.append(res[1])
+            else:
+                failures.append(res)
+                if len(failures) >= 5:
+                    break
+    if failures:
+        for html, why in failures:
+            print(f"VIOLATION: {why}\n  input: {html!r}\n")
+        return 1
+    print(f"clean: {len(jobs)} examples across {len(CLASSES)} classes")
+    print(f"pin candidates ({len(pins)} sampled multi-pass survivors):")
+    for p in itertools.islice(sorted(pins), 40):
+        print(" ", p)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -121,6 +121,38 @@ RECOVERY_GOLDEN = [
     # first p was already closed by <table> itself, a _P_CLOSERS member;
     # the pin guards the td confinement of the second p)
     ("<p>one<table><td><p>two</table>three", "<p>one</p><p>two</p>three"),
+    # --- round-5 fuzz-campaign pins (120k targeted examples, VERDICT r04
+    # #3): foreign content, CDATA/RCDATA, adoption-agency shapes — all
+    # hand-derived from the tokenizer rules and security-reviewed ---
+    # foreignObject re-enters HTML: its table-cell soup unwraps, the p
+    # survives with content
+    ("<svg><foreignObject><td><p>x</p></foreignObject></svg>tail",
+     "<p>x</p>tail"),
+    # annotation-xml: script is KILLED even there, formatting maps
+    ("<math><annotation-xml><script>e()</script><b>t</b></annotation-xml>"
+     "</math>", "<strong>t</strong>"),
+    # title is RCDATA: inner markup is TEXT, comes back entity-escaped
+    ("<title><b>x</b></title>after", "&lt;b&gt;x&lt;/b&gt;after"),
+    # textarea RCDATA decodes entities, then serialization re-escapes
+    ("<textarea>&amp;<i>y</i></textarea>", "&amp;&lt;i&gt;y&lt;/i&gt;"),
+    # adoption-agency shape: </b> pops through the open <i>; the engine's
+    # documented simpler recovery does NOT reconstruct <i> for 'three'
+    # (browsers would italicize it) — pinned as intentional divergence
+    ("<p><b>one<i>two</b>three</i></p>",
+     "<p><strong>one<em>two</em></strong>three</p>"),
+    # block-in-formatting: <p> nests inside <b>; </b> closes both worlds
+    ("<b><p>x</b>y</p>", "<strong><p>x</p></strong>y"),
+    # CDATA marker inside style is style DATA and dies with the element
+    ("<style><![CDATA[ p{} ]]></style>z", "z"),
+    # caption content survives the table unwrap; the caption-scope p stays
+    # confined
+    ("<table><caption><p>c</caption>d</table>", "<p>c</p>d"),
+    # the classic commented-CDATA script wrapper: all of it is script data
+    # up to the first real </script>
+    ("<script>// <![CDATA[\nvar x = '</p>';\n// ]]></script><p>after</p>",
+     "<p>after</p>"),
+    # option auto-close chain inside an unallowed select: text merges
+    ("<select><option>a<option>b</select>", "ab"),
 ]
 
 # Scope-barrier protected trees whose FIRST-pass serialization is nested
@@ -144,6 +176,16 @@ BARRIER_CONVERGENCE = [
     ("<ul><li>a<table><td><li>b</table></li></ul>",
      "<ul><li>a<li>b</li></li></ul>",
      "<ul><li>a</li><li>b</li></ul>"),
+    # r05 fuzz-mined compacts: button protects p-in-p (with a li-marker
+    # strip inside the inner p), caption (an HTML5 formatting-marker
+    # element) protects a-in-a — both nest on pass 1 because the
+    # protecting element is itself unwrapped, both flatten on pass 2
+    ("<p>a<button><p>* b</button>",
+     "<p>a<p>b</p></p>",
+     "<p>a</p><p>b</p>"),
+    ("<a href='/x'>x<caption><a href='/y'>y</a></caption></a>tail",
+     '<a href="/x">x<a href="/y">y</a></a>tail',
+     '<a href="/x">x</a><a href="/y">y</a>tail'),
 ]
 
 
