@@ -896,24 +896,36 @@ def q_dedup_verified(spark, sf_dir):
         .persist()  # consumed 2x: distinct digest pairs + the join back
     )
     _dedup_verify_caches.append(pairs_dg)
-    dpairs = pairs_dg.select("dg_a", "dg_b").distinct()
+    # digest pairs normalized (lo, hi): jaccard is symmetric, so doc pairs
+    # whose digests arrive swapped — (X, Y) from one pair, (Y, X) from
+    # another, common when doc-id order and content order differ on
+    # template corpora — share ONE intersection computation
+    dg_lo, dg_hi = F.least("dg_a", "dg_b"), F.greatest("dg_a", "dg_b")
+    dpairs = pairs_dg.select(
+        dg_lo.alias("dg_lo"), dg_hi.alias("dg_hi")
+    ).distinct()
     joined = dpairs.join(
-        sh.select(F.col("dg").alias("dg_a"), F.col("sh").alias("sh_a")),
-        "dg_a",
+        sh.select(F.col("dg").alias("dg_lo"), F.col("sh").alias("sh_a")),
+        "dg_lo",
     ).join(
-        sh.select(F.col("dg").alias("dg_b"), F.col("sh").alias("sh_b")),
-        "dg_b",
+        sh.select(F.col("dg").alias("dg_hi"), F.col("sh").alias("sh_b")),
+        "dg_hi",
     )
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.round(
         n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 4
     )
     djac = joined.select(
-        "dg_a", "dg_b", n_inter.alias("n_inter"), jac.alias("jaccard")
+        "dg_lo", "dg_hi", n_inter.alias("n_inter"), jac.alias("jaccard")
     ).filter(F.col("n_inter") > 0)
-    return pairs_dg.join(djac, ["dg_a", "dg_b"]).select(
-        "doc_a", "doc_b", "jaccard",
-        F.when(F.col("jaccard") >= 0.7, 1).otherwise(0).alias("is_dup"),
+    return (
+        pairs_dg.withColumn("dg_lo", dg_lo)
+        .withColumn("dg_hi", dg_hi)
+        .join(djac, ["dg_lo", "dg_hi"])
+        .select(
+            "doc_a", "doc_b", "jaccard",
+            F.when(F.col("jaccard") >= 0.7, 1).otherwise(0).alias("is_dup"),
+        )
     )
 
 
