@@ -60,6 +60,18 @@ CLASSES: dict[str, list[str]] = {
         "</dl>", "<p>", "</p>", "<a href='/x'>", "</a>", "<b>", "</b>",
         "x ", "* ", "- ",
     ],
+    "attr_edges": [
+        "<p ", "<a ", "<b ", "title=", "href=", "id=", "name=", "onclick=",
+        "'", '"', "a>b", "x='y", "=", "/>", "/ >", ">", " ", "c", "<p a=1",
+        "a=2 b>", "title='q>r'>", 'href="jav&#x61;script:alert(1)">',
+        "href='  https://e.org/p '>", "</p>", "</a>", "style='color:red'>",
+    ],
+    "nfkc_smuggle": [
+        "＜", "＞", "﹤", "﹥", "＆", "ｓcript", "ａ", "ｐ", "<", ">", "&",
+        "amp;", "#60;", "lt;", "<p>", "</p>", "<a href='/x'>", "</a>",
+        " ", " ", "ﬁ", "｡", "x ", "ｊａｖａｓｃｒｉｐｔ：",
+        "alert(1)", "href=", "'",
+    ],
 }
 
 _CONFIGS = [
@@ -69,6 +81,17 @@ _CONFIGS = [
 ]
 _TAG_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9]*)")
 _CONTROL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+# javascript: is only a violation as the VALUE OF A URL ATTRIBUTE
+# (href/src). Occurrences as escaped text content, or as string DATA
+# inside a non-URL attribute value (title="href=&quot;javascript:..."
+# — produced by unquoted-value recovery on title=href="..."), are inert
+# strings the reference would keep too; the attr_edges class generates
+# both shapes on purpose to prove the distinction. The serializer
+# escapes & in attribute values, so a live URL cannot hide behind
+# &#x61;-style entities in the OUTPUT.
+_JS_IN_TAG_RE = re.compile(
+    r'<[a-zA-Z][^>]*(?:href|src)="[^"]*javascript:', re.I
+)
 
 
 def _check_one(args: tuple[str, int, int]) -> tuple[str, str] | None:
@@ -94,8 +117,8 @@ def _check_one(args: tuple[str, int, int]) -> tuple[str, str] | None:
                     return (html, f"disallowed tag {m.group(1)!r} in {o!r}")
             if _CONTROL_RE.search(o):
                 return (html, f"control char in {o!r}")
-            if "javascript:" in o.lower().replace(" ", ""):
-                return (html, f"javascript: URL in {o!r}")
+            if _JS_IN_TAG_RE.search(o):
+                return (html, f"javascript: URL inside a tag in {o!r}")
         if len(outs) > 2 and seed % 97 == 0:  # deterministic sample
             return ("PIN", f"{cls}\t{html!r}\t{outs[0]!r}\t{outs[-1]!r}")
     except RecursionError:

@@ -153,6 +153,18 @@ RECOVERY_GOLDEN = [
      "<p>after</p>"),
     # option auto-close chain inside an unallowed select: text merges
     ("<select><option>a<option>b</select>", "ab"),
+    # entity/case/whitespace-smuggled javascript: hrefs all neutralize to
+    # '#' (the reference's sanitize_href contract); the attr_edges fuzz
+    # class replays these shapes at volume
+    ('<a href="jav&#x61;script:alert(1)">x</a>', '<a href="#">x</a>'),
+    ('<a href="JaVaScRiPt:alert(1)">y</a>', '<a href="#">y</a>'),
+    ('<a href=" javascript:alert(1)">z</a>', '<a href="#">z</a>'),
+    ("<a href=\"jav\tascript:alert(1)\">w</a>", '<a href="#">w</a>'),
+    # unquoted-value recovery: title=href="..." swallows the quoted blob
+    # into the TITLE value — it survives only as inert escaped string
+    # data in an allowed non-URL attribute, never as a live href
+    ('<a title=href="jav&#x61;script:alert(1)">x</a>',
+     '<a title="href=&quot;javascript:alert(1)&quot;">x</a>'),
 ]
 
 # Scope-barrier protected trees whose FIRST-pass serialization is nested
