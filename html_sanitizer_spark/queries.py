@@ -25,7 +25,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["REGISTRY", "spark_queries", "oracle_queries", "docs", "flagship"]
+__all__ = [
+    "REGISTRY",
+    "spark_queries",
+    "oracle_queries",
+    "docs",
+    "flagship",
+    "dedup_incremental_against_index",
+    "dedup_verify_cache_scope",
+    "release_dedup_verify_caches",
+    "write_digest_index",
+]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
