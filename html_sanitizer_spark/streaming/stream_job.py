@@ -36,6 +36,7 @@ __all__ = [
     "stream_sanitize_parquet_dir",
     "stream_event_window_rollup",
     "stream_dedup_exact",
+    "stream_dedup_incremental",
     "start_stream",
     "write_epoch",
     "read_stream_output",
@@ -196,6 +197,58 @@ def stream_dedup_exact(
 
     writer = (
         deduped.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental-ingest dedup: the streaming twin of
+    queries.dedup_incremental_against_index. Each micro-batch of the feed
+    is probed against the PERSISTED corpus digest index
+    (queries.write_digest_index) with a stream-static join, then
+    first-arrival-deduped within the stream itself:
+
+        emit a doc  <=>  its digest is NOT in the corpus index
+                         AND it is the stream's first sighting of it
+
+    Scale shape: the stream-static probe is a digest-keyed hash join
+    re-planned per micro-batch (a digest-bucketed index co-partitions
+    it; index rows added between batches are picked up — exactly the
+    accreting-index semantics an ingest pipeline wants), and the
+    dropDuplicates state is one row per distinct NEW digest. Stream-static
+    left-anti isn't supported by the engine, so the probe is the
+    equivalent marker left-outer + IS NULL filter. The index scan projects
+    ``digest`` only — column pruning reaches it regardless of index
+    metadata columns."""
+    src = spark.readStream.schema(DEDUP_FEED_SCHEMA).parquet(input_dir)
+    hashed = src.withColumn("text_hash", F.md5("text"))
+    idx = (
+        spark.read.parquet(index_dir)
+        .select(F.col("digest").alias("text_hash"))
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    fresh = (
+        hashed.join(idx, "text_hash", "left")
+        .filter(F.col("_in_corpus").isNull())
+        .drop("_in_corpus")
+        .dropDuplicates(["text_hash"])
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        write_epoch(batch_df, output_dir, epoch_id)
+
+    writer = (
+        fresh.writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_once:

@@ -93,3 +93,64 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
     by_doc = sorted(r["doc_id"] for r in rows)
     # doc 1 (in-horizon dup) suppressed; doc 4 (post-horizon A) re-emitted
     assert by_doc == [0, 2, 3, 4]
+
+
+def test_stream_dedup_incremental_matches_batch_index_probe(spark, tmp_path):
+    """Streaming twin of dedup_incremental_against_index (r05): feed three
+    availableNow runs against a PERSISTED corpus digest index — emissions
+    must equal the batch probe's keep=1 set over the same feed (feed
+    arrives in doc_id order, so first-arrival == min doc_id), and an index
+    row appended BETWEEN runs must start suppressing its digest."""
+    from html_sanitizer_spark.queries import (
+        dedup_incremental_against_index,
+        write_digest_index,
+    )
+    from html_sanitizer_spark.streaming.stream_job import (
+        stream_dedup_incremental,
+    )
+
+    in_dir, out_dir, ckpt, idx = (
+        str(tmp_path / d) for d in ("in", "out", "ck", "idx")
+    )
+    t = datetime(2024, 1, 1, 12, 0)
+    write_digest_index(
+        spark.createDataFrame([(100, "alpha"), (101, "beta")],
+                              ["doc_id", "text"]),
+        idx,
+    )
+
+    runs = [
+        # alpha: in corpus -> suppressed; gamma fresh -> emit doc 1
+        [(0, t, "alpha"), (1, t, "gamma")],
+        # gamma again: stream-state dup -> suppressed; delta -> emit doc 11
+        [(10, t, "gamma"), (11, t, "delta")],
+        # beta: corpus -> suppressed; epsilon: suppressed ONLY because the
+        # index grew between runs (the accreting-index contract)
+        [(20, t, "beta"), (21, t, "epsilon")],
+    ]
+    for i, run in enumerate(runs):
+        _write_feed(spark, in_dir, run)
+        q = stream_dedup_incremental(spark, in_dir, idx, out_dir, ckpt)
+        q.awaitTermination(120)
+        if i == 1:
+            write_digest_index(
+                spark.createDataFrame([(300, "epsilon")],
+                                      ["doc_id", "text"]),
+                idx,
+            )
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 11]
+
+    # batch differential over the runs-1+2 feed (none of whose docs is
+    # epsilon, so the grown index probes identically for them)
+    batch_feed = spark.createDataFrame(
+        [{"doc_id": i, "text": text} for run in runs[:2] for i, _, text in run]
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_incremental_against_index(spark, batch_feed,
+                                                 idx).collect()
+        if r["keep"] == 1
+    )
+    assert got == want
