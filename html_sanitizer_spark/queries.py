@@ -2590,6 +2590,87 @@ FROM base b JOIN top t ON t.doc_id = b.doc_id
 """
 
 
+def q_lm_bigram_score(spark, sf_dir, threshold: float = -3.4):
+    """Corpus-self-trained bigram language-model quality score (the
+    CCNet/KenLM perplexity-filter shape, without an external LM):
+    every document is scored by its average add-one-smoothed bigram
+    log-likelihood under the corpus's OWN bigram statistics; documents
+    far below typical likelihood (boilerplate, gibberish, wrong-language)
+    get keep=0. keep = rounded avg_logprob >= ``threshold`` (default
+    -3.4, which splits the sf corpora; production tunes it per corpus —
+    CCNet buckets by percentile). The comparison uses the ROUNDED value,
+    so the flag is engine-deterministic.
+
+    100 TB shape: bigram extraction is MAP-SIDE (two array slices zipped,
+    no window, no per-token shuffle); training = two token-keyed hash
+    groupBys (bigram counts, left-context counts) + one tiny vocab
+    aggregate; scoring = two hash joins back onto the bigram stream
+    (heavy-hitter token skew is AQE skew-join territory) + one per-doc
+    aggregation. The canonical n-gram-LM shuffle profile — the count
+    tables are vocabulary-sized, never corpus-sized."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: w != "",
+        ).alias("ws"),
+    )
+    pairs = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, size(ws) - 1)").alias("w1"),
+                    F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = toks.select(F.explode("ws").alias("w")).agg(
+        F.count_distinct("w").alias("vocab")
+    )
+    lp = F.log((F.col("n2") + 1) / (F.col("n1") + F.col("vocab")))
+    scored = pairs.join(c2, ["w1", "w2"]).join(c1, ["w1"]).crossJoin(vocab)
+    avg_lp = F.round(F.avg(lp), 4)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg_lp.alias("avg_logprob"),
+        F.when(avg_lp >= threshold, 1).otherwise(0).alias("keep"),
+    )
+
+
+_ORACLE_LM_BIGRAM = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents WHERE n_chars > 0),
+bi AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM toks WHERE len(ws) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS vocab
+      FROM (SELECT unnest(ws) AS w FROM toks)),
+scored AS (
+  SELECT b.doc_id, ln((c2.n2 + 1) / (c1.n1 + v.vocab)) AS lp
+  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(lp), 4) AS avg_logprob,
+       CASE WHEN round(avg(lp), 4) >= -3.4 THEN 1 ELSE 0 END AS keep
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_multimodal_rollup(spark, sf_dir):
     """Multimodal decode plumbing over media spans derived from the driver
     documents. Fully oracled (VERDICT r02 #3): the deterministic test
@@ -2779,6 +2860,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "oov_quality_filter": (q_oov_quality_filter, _ORACLE_OOV),
     "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "repetition_score": (q_repetition_score, _ORACLE_REPETITION),
+    "lm_bigram_score": (q_lm_bigram_score, _ORACLE_LM_BIGRAM),
 }
 
 
