@@ -2671,6 +2671,67 @@ FROM scored GROUP BY doc_id
 """
 
 
+_MIXTURE_TARGETS = {
+    "en": 0.4, "fr": 0.15, "es": 0.15, "zh": 0.15, "de": 0.15,
+}
+
+
+def q_mixture_weights(spark, sf_dir, targets: dict | None = None):
+    """Training-mix planner: per-language sampling rates that hit a target
+    language distribution while fully using the BINDING language (the one
+    whose availability runs out first at the target shares). budget =
+    min_l(available_l / share_l); rate_l = budget * share_l /
+    available_l — the binding language gets rate 1.0, everything else is
+    down-sampled to match the mix. Unit = characters (language-agnostic;
+    swap in token counts per tokenizer in production).
+
+    100 TB shape: one language-keyed groupBy producing a
+    languages-sized frame, a broadcast-small target join, and a 1-row
+    min aggregate joined back — nothing here scales with the corpus
+    beyond the first groupBy's map-side partial aggregation."""
+    targets = targets or _MIXTURE_TARGETS
+    d = _docs(spark, sf_dir)
+    avail = d.groupBy("lang").agg(
+        F.sum("n_chars").alias("available_chars")
+    )
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        ["lang", "target_share"],
+    )
+    j = avail.join(tgt, "lang")
+    budget = j.select(
+        F.min(F.col("available_chars") / F.col("target_share")).alias(
+            "budget"
+        )
+    )
+    return j.crossJoin(budget).select(
+        "lang",
+        "available_chars",
+        F.round("target_share", 4).alias("target_share"),
+        F.round(
+            F.col("budget") * F.col("target_share")
+            / F.col("available_chars"),
+            4,
+        ).alias("sampling_rate"),
+    )
+
+
+_ORACLE_MIXTURE = """
+WITH avail AS (
+  SELECT lang, sum(n_chars)::BIGINT AS available_chars
+  FROM documents GROUP BY lang),
+tgt(lang, target_share) AS (VALUES
+  ('en', 0.4::DOUBLE), ('fr', 0.15::DOUBLE), ('es', 0.15::DOUBLE),
+  ('zh', 0.15::DOUBLE), ('de', 0.15::DOUBLE)),
+j AS (SELECT * FROM avail JOIN tgt USING (lang)),
+b AS (SELECT min(available_chars / target_share) AS budget FROM j)
+SELECT lang, available_chars,
+       round(target_share, 4) AS target_share,
+       round(b.budget * target_share / available_chars, 4) AS sampling_rate
+FROM j CROSS JOIN b
+"""
+
+
 def q_multimodal_rollup(spark, sf_dir):
     """Multimodal decode plumbing over media spans derived from the driver
     documents. Fully oracled (VERDICT r02 #3): the deterministic test
@@ -2861,6 +2922,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "repetition_score": (q_repetition_score, _ORACLE_REPETITION),
     "lm_bigram_score": (q_lm_bigram_score, _ORACLE_LM_BIGRAM),
+    "mixture_weights": (q_mixture_weights, _ORACLE_MIXTURE),
 }
 
 
