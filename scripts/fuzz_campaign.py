@@ -66,6 +66,13 @@ CLASSES: dict[str, list[str]] = {
         "a=2 b>", "title='q>r'>", 'href="jav&#x61;script:alert(1)">',
         "href='  https://e.org/p '>", "</p>", "</a>", "style='color:red'>",
     ],
+    "markup_decl": [
+        "<!--", "-->", "<!-->", "<!--->", "<!---->", "<!DOCTYPE html>",
+        "<!doctype x>", "<?php echo 1 ?>", "<?xml version='1.0'?>", "<!",
+        "<!-", "<![CDATA[", "]]>", "<![endif]-->", "<!--[if IE]>",
+        "<p>", "</p>", "<b>", "</b>", "x ", "-", "!", ">", "<",
+        "<script>e()</script>", "&gt;", "&lt;",
+    ],
     "nfkc_smuggle": [
         "＜", "＞", "﹤", "﹥", "＆", "ｓcript", "ａ", "ｐ", "<", ">", "&",
         "amp;", "#60;", "lt;", "<p>", "</p>", "<a href='/x'>", "</a>",
