@@ -324,3 +324,34 @@ def test_incremental_dedup_prunes_corpus_scan_to_digest_inputs(spark):
     for chunk in plan.split("ReadSchema: ")[1:]:
         schema = chunk.splitlines()[0]
         assert "lang" not in schema and "source" not in schema, plan
+
+
+def test_lm_bigram_score_plan_shape(spark):
+    """The n-gram-LM scorer's 100TB claims: no cartesian product (the
+    1-row vocab frame joins as a broadcast nested loop over ONE row), no
+    global sort, and the bigram stream is built map-side (no window
+    function anywhere in the plan)."""
+    from html_sanitizer_spark.queries import q_lm_bigram_score
+
+    plan = _plan(q_lm_bigram_score(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
+    assert "Window" not in plan, plan
+
+
+def test_mixture_weights_plan_shape(spark):
+    """The mix planner touches nothing corpus-sized past the first
+    map-side partial aggregation: the only scan projects (lang, n_chars)
+    and there is no window or global sort."""
+    from html_sanitizer_spark.queries import q_mixture_weights
+
+    plan = _plan(q_mixture_weights(spark, SF))
+    import re
+
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
+    assert "Window" not in plan, plan
+    for chunk in plan.split("ReadSchema: ")[1:]:
+        schema = chunk.splitlines()[0]
+        assert "text" not in schema, plan
