@@ -2632,7 +2632,12 @@ def q_lm_bigram_score(spark, sf_dir, threshold: float = -3.4):
         )
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # left-context totals derived from the bigram counts, not from a
+    # second pass over the corpus: sum(n2) grouped by w1 is identical to
+    # counting bigrams by w1, and the input is the vocabulary-sized c2
+    # table instead of the corpus-sized bigram stream (one fewer corpus
+    # scan + one fewer token-keyed shuffle at 100 TB)
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vocab = toks.select(F.explode("ws").alias("w")).agg(
         F.count_distinct("w").alias("vocab")
     )
