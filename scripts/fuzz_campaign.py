@@ -73,6 +73,12 @@ CLASSES: dict[str, list[str]] = {
         "<p>", "</p>", "<b>", "</b>", "x ", "-", "!", ">", "<",
         "<script>e()</script>", "&gt;", "&lt;",
     ],
+    "entity_edges": [
+        "&#xD800;", "&#xDFFF;", "&#x110000;", "&#0;", "&#38;", "&#x26;",
+        "&#X41;", "&amp;", "&amp;amp;", "&lol9;", "&LT;", "&lt", "&",
+        "&#", "&#x", "&nbsp;", "&shy;", "&#8203;", "<p>", "</p>",
+        "<a href='/x'>", "</a>", "x", ";", "#", "9999999999",
+    ],
     "nfkc_smuggle": [
         "＜", "＞", "﹤", "﹥", "＆", "ｓcript", "ａ", "ｐ", "<", ">", "&",
         "amp;", "#60;", "lt;", "<p>", "</p>", "<a href='/x'>", "</a>",
