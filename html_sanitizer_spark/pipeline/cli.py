@@ -15,7 +15,8 @@ from __future__ import annotations
 import argparse
 import json
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # absolute imports: spark-submit executes this file as a top-level script
 # with the --py-files zip on PYTHONPATH (also works under python -m)
@@ -23,11 +24,44 @@ from html_sanitizer_spark.configs import settings_for
 from html_sanitizer_spark.pipeline.checkpoint import run_checkpointed
 from html_sanitizer_spark.pipeline.job import sanitize_spans
 from html_sanitizer_spark.pipeline.session import get_spark
+from html_sanitizer_spark.pipeline.synth import DOC_SCHEMA
+
+
+def read_input(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Source formats (r05): parquet and json carry the full
+    (doc_id, spans) shape (json = one doc object per line, schema
+    enforced — no sampling-based inference job); csv is the FLAT
+    fragment shape ``doc_id,text`` (header row) wrapped into
+    single-text-span documents — the distributed analog of the
+    reference CLI's one-fragment-per-file batch mode
+    (``__main__.py:8-13``)."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        return spark.read.schema(DOC_SCHEMA).json(path)
+    flat = spark.read.option("header", True).csv(path)
+    return flat.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="html-sanitizer-spark")
-    ap.add_argument("--input", required=True, help="parquet dir of (doc_id, spans)")
+    ap.add_argument("--input", required=True,
+                    help="input dir of (doc_id, spans) docs (see --format)")
+    ap.add_argument("--format", choices=("parquet", "json", "csv"),
+                    default="parquet",
+                    help="parquet/json = full span-document shape (json: "
+                         "one doc per line); csv = flat doc_id,text "
+                         "fragments wrapped into single-span docs")
     ap.add_argument("--output", required=True)
     ap.add_argument("--config", default="default")
     ap.add_argument("--buckets", type=int, default=16,
@@ -52,7 +86,7 @@ def main(argv: list[str] | None = None) -> int:
 
     active = SparkSession.getActiveSession()
     spark = active or get_spark("sanitize-job", parallelism=args.parallelism)
-    df = spark.read.parquet(args.input)
+    df = read_input(spark, args.input, args.format)
 
     if args.no_checkpoint or args.nested:
         out = sanitize_spans(

@@ -52,3 +52,48 @@ def test_spark_submit_py_files(spark, tmp_path):
     assert got.count() == 30
     lineage = spark.read.parquet(os.path.join(out_dir, "_lineage", "bucket=*"))
     assert lineage.count() > 0
+
+
+def test_cli_json_and_csv_sources(spark, tmp_path):
+    """r05 source formats: the CLI reads schema-enforced JSON span docs
+    and flat doc_id,text CSV fragments (wrapped into single-span docs —
+    the reference CLI's one-fragment-per-row analog), producing sanitized
+    output through the same checkpointed path. Runs main() in-process
+    (the spark-submit vehicle itself is covered above)."""
+    from html_sanitizer_spark.pipeline.cli import main, read_input
+
+    # JSON: full span shape, one doc per line
+    j_in = tmp_path / "jin"
+    j_in.mkdir()
+    (j_in / "docs.json").write_text(
+        '{"doc_id": "j1", "spans": [{"kind": "text", "text": "<p style=x>Hi '
+        '<b>there</b></p>", "media_ref": "", "offset": 0}, {"kind": "image", '
+        '"text": "", "media_ref": "m://1", "offset": 1}]}\n'
+    )
+    j_out = str(tmp_path / "jout")
+    assert main(["--input", str(j_in), "--format", "json",
+                 "--output", j_out, "--buckets", "2", "--salt", "2"]) == 0
+    rows = {r["doc_id"]: r["spans"]
+            for r in spark.read.parquet(f"{j_out}/bucket=*").collect()}
+    assert rows["j1"][0]["text"] == "<p>Hi <strong>there</strong></p>"
+    assert rows["j1"][1]["media_ref"] == "m://1"  # media untouched
+
+    # CSV: flat fragments
+    c_in = tmp_path / "cin"
+    c_in.mkdir()
+    (c_in / "frags.csv").write_text(
+        'doc_id,text\nc1,"<script>evil()</script><p>ok</p>"\nc2,plain\n'
+    )
+    c_out = str(tmp_path / "cout")
+    assert main(["--input", str(c_in), "--format", "csv",
+                 "--output", c_out, "--buckets", "2", "--salt", "2"]) == 0
+    got = {r["doc_id"]: r["spans"][0]["text"]
+           for r in spark.read.parquet(f"{c_out}/bucket=*").collect()}
+    assert got == {"c1": "<p>ok</p>", "c2": "plain"}
+
+    # the reader contract itself: csv wraps into the DOC_SCHEMA shape
+    df = read_input(spark, str(c_in), "csv")
+    assert df.columns == ["doc_id", "spans"]
+    assert df.schema["spans"].dataType.elementType.names == [
+        "kind", "text", "media_ref", "offset"
+    ]
