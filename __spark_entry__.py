@@ -10,7 +10,9 @@ connected-components, the multimodal decode rollup (md5-replayable fake
 kernel through real mapInPandas plumbing), event-time windows,
 sessionization, decontamination, sequence packing, stratified sampling,
 and vocabulary stats — is fully oracled via generated SQL (literal
-constants embedded / recursive CTEs): 37 of 38.
+constants embedded / recursive CTEs): every registry entry except
+``sanitize_text`` (len(REGISTRY) - 1 of len(REGISTRY); the exact counts
+are asserted against this docstring in tests/test_survey_coverage.py).
 """
 
 from __future__ import annotations

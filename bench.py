@@ -378,6 +378,28 @@ def run_big_dedup(cpus: int, n_docs: int) -> dict:
     }
 
 
+def write_report_preserving(path: str, report: dict) -> dict:
+    """Write ``report`` to ``path``, MERGE-PRESERVING any top-level keys
+    already in the file that the new report doesn't produce (VERDICT r05
+    'What's wrong #2'): `--scaling` runs must not clobber disclosure
+    blocks like ``attempts_r05`` / ``protocol_conclusion_r05`` that the
+    scaling-evidence protocol depends on. Keys the new report DOES
+    produce are overwritten (fresh run wins); unknown/foreign keys
+    round-trip untouched. Returns the merged dict actually written."""
+    merged = {}
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+        if isinstance(prior, dict):
+            merged.update(prior)
+    except (OSError, ValueError):
+        pass
+    merged.update(report)
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+    return merged
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -403,18 +425,15 @@ if __name__ == "__main__":
         _one_shot_scaling(args.sf_dir, args.cpus)
     elif args.big_dedup:
         report = run_big_dedup(args.cpus, args.dedup_docs)
-        with open("BENCH_DEDUP.json", "w") as fh:
-            json.dump(report, fh, indent=1)
+        write_report_preserving("BENCH_DEDUP.json", report)
         print(json.dumps(report))
     elif args.big:
         report = run_big(args.cpus, args.big_docs)
-        with open("BENCH_BIG.json", "w") as fh:
-            json.dump(report, fh, indent=1)
+        write_report_preserving("BENCH_BIG.json", report)
         print(json.dumps(report))
     elif args.scaling:
         report = run_scaling(args.sf_dir, args.low, args.high)
-        with open("BENCH_SCALING.json", "w") as fh:
-            json.dump(report, fh, indent=1)
+        write_report_preserving("BENCH_SCALING.json", report)
         print(json.dumps(report))
     else:
         print(json.dumps(run_benchmarks(args.sf_dir, args.cpus)))

@@ -39,7 +39,17 @@ def read_input(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         return spark.read.parquet(path)
     if fmt == "json":
         return spark.read.schema(DOC_SCHEMA).json(path)
-    flat = spark.read.option("header", True).csv(path)
+    # multiLine + escape: HTML fragments routinely contain embedded
+    # newlines and quotes; without multiLine a quoted field spanning
+    # lines is split across records and silently corrupts rows
+    # (ADVICE r05 #3). multiLine=True trades file-splittability for
+    # correctness — acceptable for the CLI's ad-hoc fragment batches.
+    flat = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
     return flat.select(
         "doc_id",
         F.array(

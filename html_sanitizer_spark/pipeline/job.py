@@ -252,13 +252,16 @@ def lineage_metrics_nested(clean: DataFrame) -> DataFrame:
     expressions (aggregate/filter over the spans array); the only shuffle
     is the per-partition groupBy, identical to lineage_metrics. Null span
     elements count toward n_spans (as in the exploded frame) but toward
-    neither bytes nor media."""
+    neither bytes nor media, and an empty/null spans array counts as ONE
+    span — posexplode_outer keeps a placeholder row for such docs, so the
+    exploded rollup sees it; greatest(size, 1) keeps the parity contract
+    exact on empty docs too (ADVICE r05 #1)."""
     has_err = "n_span_errors" in clean.columns
     spans = F.coalesce(F.col("spans"), F.array())
     row = clean.select(
         "doc_id",
         F.spark_partition_id().alias("part_id"),
-        F.size(spans).alias("_n_spans"),
+        F.greatest(F.size(spans), F.lit(1)).alias("_n_spans"),
         F.aggregate(
             spans,
             F.lit(0).cast("long"),

@@ -223,8 +223,13 @@ def stream_dedup_incremental(
 
     Scale shape: the stream-static probe is a digest-keyed hash join
     re-planned per micro-batch (a digest-bucketed index co-partitions
-    it; index rows added between batches are picked up — exactly the
-    accreting-index semantics an ingest pipeline wants), and the
+    it; index rows added between RUNS/RESTARTS are picked up — the static
+    side's file listing is fixed when ``spark.read.parquet`` is planned,
+    so a continuously-running ``trigger_once=False`` query sees index
+    files that existed at start; availableNow batch-per-run ingest — the
+    shape this function and its test exercise — gets the accreting-index
+    semantics naturally. For a true long-running stream, rebuild the
+    static frame per micro-batch inside foreachBatch), and the
     dropDuplicates state is one row per distinct NEW digest. Stream-static
     left-anti isn't supported by the engine, so the probe is the
     equivalent marker left-outer + IS NULL filter. The index scan projects

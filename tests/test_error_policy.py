@@ -289,6 +289,11 @@ def test_lineage_parity_exploded_vs_nested_arrow(spark, poison):
             {"doc_id": "c", "spans": [
                 {"kind": "video", "text": "", "media_ref": "m://2", "offset": 0},
             ]},
+            # ADVICE r05 #1: empty and null spans arrays — posexplode_outer
+            # keeps one placeholder row each, so the exploded rollup counts
+            # them as n_spans=1; the nested path must agree.
+            {"doc_id": "d-empty", "spans": []},
+            {"doc_id": "e-null", "spans": None},
         ],
         schema=DOC_SCHEMA,
     )
@@ -310,4 +315,4 @@ def test_lineage_parity_exploded_vs_nested_arrow(spark, poison):
     assert t_exp == t_nest, (t_exp, t_nest)
     assert t_exp["n_errors"] == 2  # both planted BOOMs counted, once each
     assert t_exp["n_media_spans"] == 2
-    assert t_exp["n_spans"] == 6
+    assert t_exp["n_spans"] == 8  # 6 real + 1 empty-doc + 1 null-doc placeholder

@@ -97,3 +97,20 @@ def test_cli_json_and_csv_sources(spark, tmp_path):
     assert df.schema["spans"].dataType.elementType.names == [
         "kind", "text", "media_ref", "offset"
     ]
+
+    # ADVICE r05 #3: a quoted field with EMBEDDED NEWLINES and escaped
+    # quotes (common in HTML fragments) must stay one record — without
+    # multiLine the row is split and silently corrupts.
+    m_in = tmp_path / "min"
+    m_in.mkdir()
+    (m_in / "frags.csv").write_text(
+        'doc_id,text\n'
+        'm1,"<p>line one\nline two</p>"\n'
+        'm2,"says ""hi""\nand <b>bye</b>"\n'
+    )
+    mrows = {r["doc_id"]: r["spans"][0]["text"]
+             for r in read_input(spark, str(m_in), "csv").collect()}
+    assert mrows == {
+        "m1": "<p>line one\nline two</p>",
+        "m2": 'says "hi"\nand <b>bye</b>',
+    }
