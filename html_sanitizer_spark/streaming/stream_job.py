@@ -37,6 +37,7 @@ __all__ = [
     "stream_event_window_rollup",
     "stream_dedup_exact",
     "stream_dedup_incremental",
+    "stream_ingest_pipeline",
     "start_stream",
     "write_epoch",
     "read_stream_output",
@@ -254,6 +255,105 @@ def stream_dedup_incremental(
 
     writer = (
         fresh.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ingest_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    settings=None,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """The COMPOSED production ingest job (VERDICT r05 next-round #6):
+    feed -> incremental dedup against an accreting digest index -> REAL
+    sanitize -> epoch sink, all inside ONE streaming query. The
+    previously-separate twins (stream_dedup_incremental, the sanitize
+    foreachBatch path) exist for differential pinning; this is the job a
+    production corpus actually runs.
+
+    Per micro-batch, inside ``foreachBatch`` (everything batch-planned, so
+    left-anti stream-static limits don't apply):
+
+    1. probe: fresh ``spark.read.parquet(index_dir)`` per batch — digests
+       appended by EARLIER batches (this run or prior runs) suppress
+       immediately; a left-anti join on the content digest drops them.
+    2. in-batch first-arrival: min-doc_id row per digest (batch-local
+       window — bounded by the micro-batch, no state store).
+    3. sanitize survivors with the fused engine UDF.
+    4. sink: ``epoch=<id>`` overwrite (write_epoch idempotence contract).
+    5. accrete: append the batch's new digests to the index under its OWN
+       ``epoch=<id>`` partition.
+
+    Exactly-once under replay: BOTH sinks are epoch-partitioned
+    overwrites, and the probe reads only STRICTLY EARLIER epochs
+    (``epoch < current``) — a replayed batch neither sees its crashed
+    attempt's index partition nor double-appends it, so output is
+    deterministic. The index therefore uses an epoch-partitioned layout
+    (``index_dir/epoch=<id>/``); seed a pre-existing corpus index into
+    ``index_dir/epoch=-1`` (e.g. via queries.write_digest_index pointed
+    at that path).
+
+    Scale shape: the probe is one digest-keyed hash join per micro-batch
+    against a digest-only projection (column pruning reaches the index
+    scan); the window is micro-batch-local; sanitize is the same
+    Arrow-batched kernel as the batch pipeline. State is carried by the
+    INDEX, not the state store — restart-safe and shared with batch
+    ingest jobs by construction."""
+    from ..functions.udfs import make_sanitize_udf
+    from pyspark.sql.window import Window
+
+    sanitize_udf = make_sanitize_udf(settings=settings)
+    src = (
+        spark.readStream.schema(DEDUP_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        hashed = batch_df.withColumn("text_hash", F.md5("text"))
+        from pyspark.errors import AnalysisException
+
+        try:
+            idx = (
+                s.read.parquet(index_dir)
+                .filter(F.col("epoch") < F.lit(epoch_id))
+                .select(F.col("digest").alias("text_hash"))
+            )
+            fresh = hashed.join(idx, "text_hash", "left_anti")
+        except AnalysisException:  # first-ever batch: no index dir yet
+            fresh = hashed
+        w = Window.partitionBy("text_hash").orderBy("doc_id")
+        first = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        out = first.select(
+            "doc_id",
+            "ts",
+            "text_hash",
+            sanitize_udf(F.col("text")).alias("clean"),
+        ).localCheckpoint()  # one pass: both sinks reuse the materialized batch
+        write_epoch(out, output_dir, epoch_id)
+        (
+            out.select(F.col("text_hash").alias("digest"), "doc_id")
+            .groupBy("digest")
+            .agg(F.min("doc_id").alias("first_doc_id"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_once:

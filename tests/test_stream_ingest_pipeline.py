@@ -1,0 +1,125 @@
+"""Composed streaming ingest job (stream_ingest_pipeline): ingest ->
+dedup-against-accreting-index -> REAL sanitize -> epoch sink as ONE
+streaming query (VERDICT r05 next-round #6). Pins the three suppression
+paths in one run-pair:
+
+- seed-index suppression (a pre-existing corpus digest index at
+  ``epoch=-1`` drops re-crawled docs),
+- CROSS-BATCH suppression WITHIN a run (micro-batch 2's duplicate of a
+  micro-batch 1 doc is dropped because batch 1 appended its digests to
+  the index — no dropDuplicates state involved),
+- cross-RUN suppression (a restarted query picks up every prior epoch's
+  index partitions),
+
+then differentials the full survivor set + sanitized payloads against
+the batch chain (min-doc_id keeper over digests not in the seed index,
+sanitized with the same engine)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from html_sanitizer_spark import sanitize
+from html_sanitizer_spark.queries import write_digest_index
+from html_sanitizer_spark.streaming.stream_job import (
+    DEDUP_FEED_SCHEMA,
+    stream_ingest_pipeline,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0)
+
+FILE1 = [
+    (0, T0, "<b>alpha</b> doc"),
+    (1, T0, "beta doc"),
+    (2, T0, "seeddoc one"),        # suppressed by the seed index
+    (3, T0, "<b>alpha</b> doc"),   # in-batch dup -> window keeps doc 0
+]
+FILE2 = [
+    (10, T0, "<b>alpha</b> doc"),  # dup of batch 1 -> index accretion
+    (11, T0, "gamma <script>x()</script> doc"),
+    (12, T0, "seeddoc two"),       # suppressed by the seed index
+]
+FILE3 = [  # second RUN (query restart)
+    (20, T0, "beta doc"),          # dup of run 1
+    (21, T0, "delta doc"),
+    (22, T0, "gamma <script>x()</script> doc"),
+]
+SEED_TEXTS = ["seeddoc one", "seeddoc two"]
+
+
+def _write_feed(spark, path, rows):
+    spark.createDataFrame(
+        [{"doc_id": i, "ts": ts, "text": text} for i, ts, text in rows],
+        schema=DEDUP_FEED_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_composed_ingest_differential_and_index_accretion(spark, tmp_path):
+    in_dir, out_dir, idx_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "idx", "ck")
+    )
+    # seed a pre-existing corpus index (the production starting state)
+    seed = spark.createDataFrame(
+        [{"doc_id": 1000 + i, "text": t} for i, t in enumerate(SEED_TEXTS)]
+    )
+    write_digest_index(seed, f"{idx_dir}/epoch=-1")
+
+    # run 1: two files -> two micro-batches (maxFilesPerTrigger=1)
+    _write_feed(spark, in_dir, FILE1)
+    _write_feed(spark, in_dir, FILE2)
+    q = stream_ingest_pipeline(spark, in_dir, idx_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    # run 2: restart on the same checkpoint with a new file
+    _write_feed(spark, in_dir, FILE3)
+    q = stream_ingest_pipeline(spark, in_dir, idx_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["text_hash"], r["clean"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch replica: min-doc_id keeper over digests not in the seed index
+    all_rows = FILE1 + FILE2 + FILE3
+    feed = spark.createDataFrame(
+        [{"doc_id": i, "ts": ts, "text": text} for i, ts, text in all_rows],
+        schema=DEDUP_FEED_SCHEMA,
+    ).withColumn("text_hash", F.md5("text"))
+    seed_digests = seed.select(F.md5("text").alias("text_hash"))
+    keepers = (
+        feed.join(seed_digests, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(feed, ["text_hash", "doc_id"])
+        .collect()
+    )
+    want = {
+        r["doc_id"]: (r["text_hash"], sanitize(r["text"])) for r in keepers
+    }
+    assert got == want
+    assert set(got) == {0, 1, 11, 21}
+
+    # the sanitize stage ran the REAL engine inside the stream
+    assert got[0][1] == "<strong>alpha</strong> doc"
+    assert "script" not in got[11][1]
+
+    # index accreted exactly the survivors' digests on top of the seed,
+    # each under its own epoch partition (replay-idempotent layout)
+    idx = spark.read.parquet(idx_dir).collect()
+    by_epoch = {}
+    for r in idx:
+        by_epoch.setdefault(r["epoch"], set()).add(r["digest"])
+    assert set(by_epoch[-1]) == {
+        r["text_hash"] for r in seed_digests.collect()
+    }
+    survivors = {h for h, _ in got.values()}
+    accreted = set().union(
+        *(v for e, v in by_epoch.items() if e >= 0)
+    )
+    assert accreted == survivors
+    # run 1 batch 2 (epoch 1) carries only the gamma digest: alpha was
+    # suppressed by epoch 0's partition, proving within-run accretion
+    assert len(by_epoch[1]) == 1
