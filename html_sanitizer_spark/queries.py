@@ -961,8 +961,16 @@ def q_paragraph_dedup(spark, sf_dir):
     )
     ex = d.select("doc_id", F.posexplode(paras).alias("pos", "para"))
     h = ex.select("doc_id", "pos", F.md5("para").alias("ph"))
+    # ONE window spec for both functions (VERDICT r05 next-round #8): the
+    # ordered spec with an explicit unbounded frame makes count() compute
+    # the same per-ph total as an unordered spec, but lets Catalyst fuse
+    # row_number and count into a SINGLE Window node — one Exchange on ph,
+    # one Sort, one pass over each hash partition (plan-gated in
+    # test_plan_quality.py::test_paragraph_dedup_single_window_pass)
     w_first = Window.partitionBy("ph").orderBy("doc_id", "pos")
-    w_freq = Window.partitionBy("ph")
+    w_freq = w_first.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     flagged = h.withColumn("rn", F.row_number().over(w_first)).withColumn(
         "freq", F.count(F.lit(1)).over(w_freq)
     )

@@ -365,6 +365,22 @@ def test_lm_bigram_score_join_census_skew_proof(spark):
     assert key_counts == [1, 2], (joins, plan)
 
 
+def test_paragraph_dedup_single_window_pass(spark):
+    """Both window functions (first-occurrence row_number, per-hash freq)
+    share one spec, so the plan carries exactly ONE Exchange on the
+    paragraph hash, ONE Sort, and ONE fused Window node — a second
+    Window pass over every hash partition would double the operator's
+    memory traffic at 100 TB for no semantic gain."""
+    import re
+
+    from html_sanitizer_spark.queries import q_paragraph_dedup
+
+    plan = _plan(q_paragraph_dedup(spark, SF))
+    assert len(re.findall(r"hashpartitioning\(ph", plan)) == 1, plan
+    assert plan.count("Window ") == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+
+
 def test_mixture_weights_plan_shape(spark):
     """The mix planner touches nothing corpus-sized past the first
     map-side partial aggregation: the only scan projects (lang, n_chars)
