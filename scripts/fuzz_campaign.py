@@ -79,6 +79,24 @@ CLASSES: dict[str, list[str]] = {
         "&#", "&#x", "&nbsp;", "&shy;", "&#8203;", "<p>", "</p>",
         "<a href='/x'>", "</a>", "x", ";", "#", "9999999999",
     ],
+    # r06 9th class (VERDICT r05 next-round #5): form/template nesting
+    # (content-model outliers: template's inert content, form's no-nest
+    # rule, select/option's restricted children) crossed with
+    # attribute-entity boundaries — bare '&' inside UNQUOTED attribute
+    # values (legal data per the HTML5 ambiguous-ampersand rule), the
+    # title=href= unquoted-value recovery the r05 checker lesson flagged,
+    # and entity-ish fragments straddling the value/tag-end boundary.
+    "form_template": [
+        "<form>", "</form>", "<form action=javascript:alert(1)>",
+        "<template>", "</template>", "<input value=x>", "<input>",
+        "<select>", "<option>", "</option>", "</select>", "<optgroup>",
+        "<fieldset>", "<legend>", "</legend>", "</fieldset>",
+        "<label>", "</label>", "<button>", "</button>", "<form>",
+        "<p>", "</p>", "<b>", "</b>", "x ", "<a ", "<p ",
+        "title=href=", '"javascript:alert(1)"', "href=a&b>",
+        "title=a&amp;b>", "value=x&notasemi>", "&", "&amp;", "&#38;",
+        "='y&z'>", "=q&#38;r>", "href='/x?a=1&b=2'>", ">", "</a>",
+    ],
     "nfkc_smuggle": [
         "＜", "＞", "﹤", "﹥", "＆", "ｓcript", "ａ", "ｐ", "<", ">", "&",
         "amp;", "#60;", "lt;", "<p>", "</p>", "<a href='/x'>", "</a>",

@@ -165,6 +165,29 @@ RECOVERY_GOLDEN = [
     # data in an allowed non-URL attribute, never as a live href
     ('<a title=href="jav&#x61;script:alert(1)">x</a>',
      '<a title="href=&quot;javascript:alert(1)&quot;">x</a>'),
+    # r06 form/template class (9th fuzz class, clean at 360k examples):
+    # form is not an allowed tag -> strict unwrap (space-padded, block
+    # semantics); its javascript: ACTION dies with the tag, never
+    # migrating to a surviving element
+    ("<form action=javascript:alert(1)><p>x</p></form>", "<p> x </p>"),
+    # template content is parsed as ordinary markup here (no inert
+    # document fragment — the engine sanitizes it like any subtree):
+    # the script payload is killed, allowed children survive
+    ("<template><script>evil()</script><p>x</p></template>", "<p>x</p>"),
+    # option auto-closes option (HTML5 optional end tag); select/option
+    # strict-unwrap to their text in document order
+    ("<select><option>a<option>b</select>", "ab"),
+    # HTML5 ambiguous-ampersand rule: a bare & inside an attribute value
+    # is DATA; the serializer re-escapes it — never double-escaped on
+    # the second pass (idempotence pinned by the stability gate below)
+    ("<a href='/x?a=1&b=2'>q</a>", '<a href="/x?a=1&amp;b=2">q</a>'),
+    # an unquoted bare-word href ('a&b') matches none of the reference
+    # predicate's allowed prefixes (/, #, known schemes) -> '#'; the
+    # bare & never reaches the output at all
+    ("<a href=a&b>x</a>", '<a href="#">x</a>'),
+    # nested form (illegal per HTML5 content model) unwraps cleanly one
+    # layer per visit and converges to the inner paragraph
+    ("<form><form><p>y</p></form></form>", "<p> y </p>"),
 ]
 
 # Scope-barrier protected trees whose FIRST-pass serialization is nested
