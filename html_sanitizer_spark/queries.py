@@ -2810,7 +2810,13 @@ def q_training_pipeline_v2(spark, sf_dir, index_dir: str | None = None):
     1-row budget min; packing totals = one shard groupBy. The stage-count
     crossJoins are 1-row scalar broadcasts. In production each stage
     writes its frame and the counts come from sink metadata; here the
-    counts ARE the contract under test."""
+    counts ARE the contract under test. Deliberately NOT persisted: an
+    A/B at sf0.01/local[8] measured the cached variant 2x SLOWER warm
+    (13.3-16.9 s vs 6.5-8.7 s) — the InMemoryRelation materialization
+    barrier costs more than the repeated sanitize passes at demo scale,
+    where the UDF input is tiny and Catalyst reuses exchanges across the
+    count subtrees; at production scale neither shape applies because
+    each stage writes parquet and the counts come from sink metadata."""
     from .functions.udfs import make_sanitize_udf
 
     sanitize = make_sanitize_udf()
