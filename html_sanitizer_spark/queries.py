@@ -2771,6 +2771,140 @@ FROM j CROSS JOIN b
 """
 
 
+def q_dsir_importance(spark, sf_dir, n_buckets: int = 1024,
+                      threshold: float = -0.05):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    'Data Selection for Language Models via Importance Resampling' —
+    public method): every raw document is scored by how target-like its
+    hashed n-gram feature distribution is. Features = word bigrams hashed
+    into a FIXED bucket space (md5 → 32-bit → mod n_buckets); bucket
+    log-ratio lr(b) = ln p_target(b) − ln p_raw(b) with add-one
+    smoothing; doc score = mean lr over its feature occurrences;
+    keep = rounded score ≥ ``threshold`` (engine-deterministic, same
+    rounded-comparison contract as the LM gate). The demo target corpus
+    is the deterministic ``doc_id % 7 == 0`` subset standing in for a
+    curated high-quality set.
+
+    100 TB shape — the reason hashed DSIR beats vocabulary methods at
+    scale: the ENTIRE model is ``n_buckets`` rows (1024 here), a size
+    chosen by the operator, not the corpus. Feature extraction is
+    map-side (zipped slices, one md5 per bigram); training = two
+    bucket-keyed groupBys whose output is ≤ n_buckets rows each + one
+    1-row total; scoring joins the corpus feature stream against the
+    fixed-size score table with an EXPLICIT broadcast — justified
+    (unlike per-doc broadcasts) because the table size is a constant of
+    the operator — so the only corpus-sized shuffle in the whole
+    operator is the final per-doc aggregation. Zero join skew possible:
+    a hot bucket is still one broadcast-map lookup. Plan-gated in
+    test_plan_quality.py::test_dsir_score_join_is_broadcast."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    is_target = F.pmod(F.col("doc_id"), F.lit(7)) == 0
+    toks = d.select(
+        "doc_id",
+        is_target.alias("is_target"),
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda w: w != "",
+        ).alias("ws"),
+    )
+    bi = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, size(ws) - 1)").alias("w1"),
+                    F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2"))
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long"),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+    )
+    tc = bi.filter("is_target").groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    rc = bi.filter(~F.col("is_target")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    tot = bi.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("nr"),
+    )
+    buckets = spark.range(0, n_buckets).select(F.col("id").alias("b"))
+    lr = F.log(
+        (F.coalesce(F.col("n_t"), F.lit(0)) + 1)
+        / (F.col("nt") + n_buckets)
+    ) - F.log(
+        (F.coalesce(F.col("n_r"), F.lit(0)) + 1)
+        / (F.col("nr") + n_buckets)
+    )
+    lrs = (
+        buckets.join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .crossJoin(tot)
+        .select("b", lr.alias("lr"))
+    )
+    score = F.round(F.avg("lr"), 4)
+    return (
+        bi.filter(~F.col("is_target"))
+        .join(F.broadcast(lrs), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            score.alias("avg_logratio"),
+            F.when(score >= threshold, 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
+_ORACLE_DSIR = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 7 = 0 AS is_target,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents WHERE n_chars > 0),
+bi AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 1024 AS b
+  FROM (SELECT doc_id, is_target,
+               unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        FROM toks WHERE len(ws) >= 2)),
+tc AS (SELECT b, count(*) AS n_t FROM bi WHERE is_target GROUP BY b),
+rc AS (SELECT b, count(*) AS n_r FROM bi WHERE NOT is_target GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM bi WHERE is_target) AS nt,
+               (SELECT count(*) FROM bi WHERE NOT is_target) AS nr),
+buckets AS (SELECT unnest(range(0, 1024)) AS b),
+lrs AS (
+  SELECT buckets.b,
+         ln((coalesce(tc.n_t, 0) + 1)::DOUBLE / (tot.nt + 1024))
+         - ln((coalesce(rc.n_r, 0) + 1)::DOUBLE / (tot.nr + 1024)) AS lr
+  FROM buckets LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+  CROSS JOIN tot)
+SELECT bi.doc_id, count(*) AS n_feats,
+       round(avg(lrs.lr), 4) AS avg_logratio,
+       CASE WHEN round(avg(lrs.lr), 4) >= -0.05 THEN 1 ELSE 0 END AS keep
+FROM bi JOIN lrs USING (b)
+WHERE NOT bi.is_target
+GROUP BY bi.doc_id
+"""
+
+
 def q_training_pipeline_v2(spark, sf_dir, index_dir: str | None = None):
     """Composed end-to-end training-corpus build (VERDICT r05 next-round
     #1): the round-5 operators chained into ONE production ingest run —
@@ -3298,6 +3432,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "lm_bigram_score": (q_lm_bigram_score, _ORACLE_LM_BIGRAM),
     "mixture_weights": (q_mixture_weights, _ORACLE_MIXTURE),
     "training_pipeline_v2": (q_training_pipeline_v2, _ORACLE_TRAINING_V2),
+    "dsir_importance": (q_dsir_importance, _ORACLE_DSIR),
 }
 
 

@@ -365,6 +365,22 @@ def test_lm_bigram_score_join_census_skew_proof(spark):
     assert key_counts == [1, 2], (joins, plan)
 
 
+def test_dsir_score_join_is_broadcast(spark):
+    """The DSIR score table is n_buckets rows by construction (a constant
+    of the operator, not the corpus), so the corpus feature stream must
+    join it as a BroadcastHashJoin — the only corpus-sized shuffle in the
+    operator is the final per-doc aggregation. No window, no global
+    sort."""
+    import re
+
+    from html_sanitizer_spark.queries import q_dsir_importance
+
+    plan = _plan(q_dsir_importance(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
+
+
 def test_paragraph_dedup_single_window_pass(spark):
     """Both window functions (first-occurrence row_number, per-hash freq)
     share one spec, so the plan carries exactly ONE Exchange on the
