@@ -2771,6 +2771,134 @@ FROM j CROSS JOIN b
 """
 
 
+def q_bpe_merges(spark, sf_dir, k: int = 5):
+    """First ``k`` BPE merge rules learned from the corpus (the
+    tokenizer-training front end; Sennrich et al. 2016, public method):
+    lowercase word tokens are counted once, each distinct word becomes a
+    space-joined symbol string, and each round picks the adjacent symbol
+    pair with the highest frequency-weighted count (ties broken
+    lexicographically) and fuses it everywhere. Returns the learned merge
+    table (step, left_sym, right_sym, merged, weighted_count) — the
+    artifact a tokenizer consumes.
+
+    Merge-apply semantics are leftmost non-overlapping literal replace on
+    the space-padded symbol string — identical in Spark and DuckDB
+    (probed: ' a b a b a b ' -> ' ab a b ab ' in both), which deviates
+    from canonical BPE only on immediately-repeating pairs inside one
+    word ('aaaa'); documented, deterministic, and the same in both
+    engines, so the oracle checks the real algorithm.
+
+    100 TB shape — why industrial BPE trainers scale: the corpus is
+    scanned ONCE (word-count groupBy, the only corpus-sized stage);
+    every merge round then runs on the VOCABULARY-sized distinct-word
+    frame: one map-side pair expansion (zipped array slices, no window),
+    one pair-keyed groupBy whose output is at most alphabet^2-ish rows,
+    and a 1-row TakeOrderedAndProject collected to the driver (the same
+    bounded-collect contract as the CC convergence probe). The k rounds
+    are a driver loop over lazily-chained vocab-sized plans."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    words = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda w: F.length(w) >= 2,
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    repr_df = words.select(
+        "word",
+        "freq",
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
+    )
+    merges = []
+    for step in range(k):
+        ss = F.split(F.col("sym"), " ")
+        pairs = (
+            repr_df.select("freq", ss.alias("ss"))
+            .filter(F.size("ss") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(ss, 1, size(ss) - 1)").alias("w1"),
+                        F.expr("slice(ss, 2, size(ss) - 1)").alias("w2"),
+                    )
+                ).alias("pg"),
+            )
+            .groupBy(
+                F.col("pg.w1").alias("w1"), F.col("pg.w2").alias("w2")
+            )
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(
+            F.desc("c"), F.asc("w1"), F.asc("w2")
+        ).limit(1).collect()
+        if not top:
+            break
+        w1, w2, c = top[0]["w1"], top[0]["w2"], top[0]["c"]
+        merges.append((step, w1, w2, w1 + w2, int(c)))
+        repr_df = repr_df.select(
+            "word",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {w1} {w2} "),
+                    F.lit(f" {w1}{w2} "),
+                )
+            ).alias("sym"),
+        )
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "weighted_count bigint",
+    )
+
+
+def _bpe_oracle_sql(k: int = 5) -> str:
+    """Generated DuckDB twin of q_bpe_merges: k chained CTE rounds, each
+    with the same pair count -> (c DESC, w1, w2) top-1 -> literal replace
+    as the Spark driver loop."""
+    sql = r"""WITH words AS (
+  SELECT w AS word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) >= 2)) AS w
+    FROM documents WHERE n_chars > 0)
+  GROUP BY w),
+r0 AS (SELECT word, freq,
+              trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym
+       FROM words)"""
+    for i in range(k):
+        sql += f""",
+p{i} AS (
+  SELECT w1, w2, sum(freq)::BIGINT AS c FROM (
+    SELECT freq, unnest(ss[1:len(ss)-1]) AS w1, unnest(ss[2:len(ss)]) AS w2
+    FROM (SELECT freq, string_split(sym, ' ') AS ss FROM r{i})
+    WHERE len(ss) >= 2)
+  GROUP BY 1, 2),
+t{i} AS (SELECT {i} AS step, w1, w2, c FROM p{i}
+         ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+r{i + 1} AS (
+  SELECT word, freq,
+         trim(replace(' ' || sym || ' ',
+                      ' ' || t{i}.w1 || ' ' || t{i}.w2 || ' ',
+                      ' ' || t{i}.w1 || t{i}.w2 || ' ')) AS sym
+  FROM r{i} CROSS JOIN t{i})"""
+    union = " UNION ALL ".join(
+        f"SELECT step, w1 AS left_sym, w2 AS right_sym, "
+        f"w1 || w2 AS merged, c AS weighted_count FROM t{i}"
+        for i in range(k)
+    )
+    return sql + "\n" + union
+
+
+_ORACLE_BPE = _bpe_oracle_sql()
+
+
 def q_dsir_importance(spark, sf_dir, n_buckets: int = 1024,
                       threshold: float = -0.05):
     """DSIR-style data-selection importance weights (Xie et al. 2023,
@@ -3433,6 +3561,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "mixture_weights": (q_mixture_weights, _ORACLE_MIXTURE),
     "training_pipeline_v2": (q_training_pipeline_v2, _ORACLE_TRAINING_V2),
     "dsir_importance": (q_dsir_importance, _ORACLE_DSIR),
+    "bpe_merges": (q_bpe_merges, _ORACLE_BPE),
 }
 
 
