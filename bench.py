@@ -168,13 +168,17 @@ SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
 SCALING_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "40"))
 
 
-def _one_shot_scaling(sf_dir: str, cpus: int) -> None:
+def _one_shot_scaling(sf_dir: str, cpus: int, executors: int | None = None) -> None:
     """Subprocess leg: time the salted sanitize pipeline at one parallelism
     level. The synthetic corpus (60k docs incl. mega-docs) is materialized
     to parquet first so the measured job is the real topology — storage
     scan -> explode -> salted shuffle -> Arrow UDF -> two-phase reassembly —
     with no in-line generation cost. Best-of-3 to damp shared-host noise;
-    the sanitize text forced via a length-sum so the UDF can't be pruned."""
+    the sanitize text forced via a length-sum so the UDF can't be pruned.
+
+    ``executors=N`` runs the leg on ``local-cluster[N,2,2048]`` — N real
+    executor JVMs — instead of local[cpus] threads: the faithful N->4N
+    EXECUTOR form of the north rule's criterion (--scaling-executors)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -183,7 +187,22 @@ def _one_shot_scaling(sf_dir: str, cpus: int) -> None:
     from html_sanitizer_spark.pipeline.session import get_spark
     from html_sanitizer_spark.pipeline.synth import synth_spans_df
 
-    spark = get_spark(f"scale-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+    if executors is not None:
+        # real executor JVMs don't inherit the driver's sys.path: ship the
+        # package the same way spark-submit --py-files does
+        import subprocess as sp
+
+        zip_path = os.path.join(tempfile.mkdtemp(prefix="pyfiles-"), "hss.zip")
+        sp.run([sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "scripts", "build_pyfiles.py"), zip_path],
+               check=True, capture_output=True)
+        cpus = executors * 2
+        spark = get_spark(f"scale-ex{executors}", executors=executors,
+                          shuffle_partitions=cpus,
+                          extra_conf={"spark.submit.pyFiles": zip_path})
+    else:
+        spark = get_spark(f"scale-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
     tmp = tempfile.mkdtemp(prefix=f"scale{cpus}-")
     synth_spans_df(spark, SCALING_DOCS, seed=42, mega_every=10_000,
                    partitions=cpus * 4, text_repeat=SCALING_REPEAT
@@ -209,8 +228,11 @@ def _one_shot_scaling(sf_dir: str, cpus: int) -> None:
         run()
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
-    print(json.dumps({"cpus": cpus, "sec": round(best, 3), "docs": n_docs,
-                      "docs_per_sec": round(n_docs / best, 1)}))
+    leg = {"cpus": cpus, "sec": round(best, 3), "docs": n_docs,
+           "docs_per_sec": round(n_docs / best, 1)}
+    if executors is not None:
+        leg["executors"] = executors
+    print(json.dumps(leg))
     spark.stop()
 
 
@@ -300,6 +322,46 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
                      "(sandbox proxy for N->4N executors); raw AND "
                      "normalized to the same-host raw-CPU control ceiling "
                      "are both reported (see BASELINE.md)",
+    }
+
+
+def run_scaling_executors(sf_dir: str, low_ex: int, high_ex: int,
+                          rounds: int = 2) -> dict:
+    """The north rule's criterion in its LITERAL form: the same job at N
+    and 4N EXECUTORS — each a real separate JVM (own heap/GC/Python
+    workers) under local-cluster[N,2,2048] — rather than N vs 4N threads
+    inside one JVM. Interleaved best-of per level + the same same-minutes
+    pure-CPU control as run_scaling, normalized at the matching core
+    counts (2 cores per executor)."""
+    legs: dict[int, dict] = {}
+    for _ in range(rounds):
+        for ex in (low_ex, high_ex):
+            out = subprocess.run(
+                [sys.executable, __file__, "--one-shot-scaling",
+                 "--executors", str(ex), "--sf-dir", sf_dir],
+                capture_output=True, text=True, check=True,
+            )
+            leg = json.loads(out.stdout.strip().splitlines()[-1])
+            if ex not in legs or leg["sec"] < legs[ex]["sec"]:
+                legs[ex] = leg
+    t_low, t_high = legs[low_ex]["sec"], legs[high_ex]["sec"]
+    efficiency = round((t_low / t_high) / (high_ex / low_ex), 3)
+    control = _cpu_control(low_ex * 2, high_ex * 2)
+    return {
+        "workload": "sanitize_docs_exploded",
+        "mode": "local-cluster multi-executor JVMs (2 cores, 2 GB each)",
+        "sf": sf_dir,
+        "low": legs[low_ex],
+        "high": legs[high_ex],
+        "speedup": round(t_low / t_high, 3),
+        "ideal_speedup": high_ex / low_ex,
+        "scaling_efficiency": efficiency,
+        "cpu_control": control,
+        "normalized_efficiency": round(efficiency / control["efficiency"], 3)
+        if control["efficiency"] else None,
+        "criterion": "throughput scaling efficiency >= 0.8 between N and 4N "
+                     "EXECUTORS (separate JVMs via local-cluster — the "
+                     "literal north-rule form)",
     }
 
 
@@ -411,6 +473,12 @@ if __name__ == "__main__":
                          "near-dup corpus")
     ap.add_argument("--dedup-docs", type=int, default=20_000)
     ap.add_argument("--one-shot-scaling", action="store_true")
+    ap.add_argument("--scaling-executors", action="store_true",
+                    help="N vs 4N real executor JVMs via local-cluster")
+    ap.add_argument("--executors", type=int, default=None,
+                    help="one-shot leg on local-cluster[N,2,2048]")
+    ap.add_argument("--low-ex", type=int, default=2)
+    ap.add_argument("--high-ex", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     # 4 vs 16: a 4x step inside this host's near-linear region — the box
@@ -422,7 +490,11 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     if args.one_shot_scaling:
-        _one_shot_scaling(args.sf_dir, args.cpus)
+        _one_shot_scaling(args.sf_dir, args.cpus, executors=args.executors)
+    elif args.scaling_executors:
+        report = run_scaling_executors(args.sf_dir, args.low_ex, args.high_ex)
+        write_report_preserving("BENCH_SCALING_EXECUTORS.json", report)
+        print(json.dumps(report))
     elif args.big_dedup:
         report = run_big_dedup(args.cpus, args.dedup_docs)
         write_report_preserving("BENCH_DEDUP.json", report)

@@ -21,14 +21,28 @@ def get_spark(
     parallelism: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    executors: int | None = None,
+    executor_cores: int = 2,
+    executor_mem_mb: int = 2048,
 ) -> SparkSession:
+    """``executors=N`` switches from local[...] threads to
+    ``local-cluster[N, executor_cores, executor_mem_mb]`` — N REAL executor
+    JVMs (own heap, own GC, own Python workers) talking to the driver over
+    the block/shuffle services, the closest single-host proxy to a
+    multi-executor cluster and the shape the N->4N executor scaling
+    evidence runs on (bench.py --scaling-executors)."""
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if executors is not None:
+        master = f"local-cluster[{executors},{executor_cores},{executor_mem_mb}]"
+        parallelism = executors * executor_cores
+    else:
+        master = f"local[{parallelism}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(parallelism, 2)
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{parallelism}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # pin event-time semantics: window()/date_trunc alignment must not
         # depend on the host's JVM timezone (and the DuckDB oracles replay
@@ -43,6 +57,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if executors is not None:
+        # leave headroom under the local-cluster worker's memory cap
+        builder = builder.config(
+            "spark.executor.memory", f"{max(executor_mem_mb - 512, 512)}m"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
