@@ -377,3 +377,47 @@ def register_sql_functions(spark, settings=None, name: str = "sanitize_html"):
     udf = make_sanitize_udf(settings)
     spark.udf.register(name, udf)
     return udf
+
+
+# main-content extraction result: kept-block text + block accounting, so
+# lineage can report extraction yield (blocks kept vs boilerplate dropped)
+# without a second pass over the corpus.
+EXTRACT_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("main_text", T.StringType()),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("n_dropped", T.IntegerType()),
+    ]
+)
+
+
+def make_extract_udf(max_link_density: float = 0.5, separator: str = "\n"):
+    """Scalar pandas UDF: main-content extraction (boilerplate strip via
+    DOM heuristics — engine/extract.py) over a batch of HTML fragments.
+    Returns struct<main_text, n_kept, n_dropped>; null in, null out.
+    Thresholds are captured in the closure (broadcast-by-closure, same
+    pattern as make_sanitize_udf)."""
+    from ..engine.extract import extract_main_blocks
+
+    @F.pandas_udf(EXTRACT_RESULT_TYPE)
+    def extract_batch(html: pd.Series) -> pd.DataFrame:
+        texts: list = []
+        kept_n: list = []
+        drop_n: list = []
+        for h in html:
+            if h is None:
+                texts.append(None)
+                kept_n.append(None)
+                drop_n.append(None)
+                continue
+            kept, dropped = extract_main_blocks(
+                h, max_link_density=max_link_density
+            )
+            texts.append(separator.join(kept))
+            kept_n.append(len(kept))
+            drop_n.append(dropped)
+        return pd.DataFrame(
+            {"main_text": texts, "n_kept": kept_n, "n_dropped": drop_n}
+        )
+
+    return extract_batch

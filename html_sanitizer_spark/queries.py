@@ -3501,6 +3501,80 @@ FROM f GROUP BY kind
 _ORACLE_MULTIMODAL_REAL = _multimodal_real_oracle_sql()
 
 
+def q_main_content(spark, sf_dir):
+    """Main-content extraction — the north rule's "HTML boilerplate
+    strip ... DOM heuristics" capability (no reference analog: the
+    reference sanitizes markup in place, it never extracts;
+    engine/extract.py implements the published boilerpipe/readability/
+    jusText heuristic family over the engine's own recovery parser).
+
+    Each document is deterministically wrapped into a full boilerplate
+    page — header, nav link list (3 + doc_id % 3 items), the content
+    paragraph, a link-farm <ul> sibling on the doc_id % 3 != 0 docs, a
+    mixed text+link paragraph, a sponsored aside, a footer — and the REAL
+    DOM extractor (recovery parse -> semantic kill list -> per-atomic-
+    block link density <= 0.5) recovers the main text. The DuckDB oracle
+    replays the page-construction CONTRACT rather than the tree walk:
+    extraction of this page must equal the whitespace-normalized document
+    text, then the kept mixed paragraph, with exactly n_kept = 2 and
+    n_dropped = (link farm present ? 1 : 0) block decisions — any
+    parser / kill-list / atomicity / density regression diverges. The
+    corpus is ASCII markup-free (asserted 0 docs matching [<>&] at all
+    sf), so the content round-trips the parser byte-identically.
+
+    100 TB shape: pure map — ONE Arrow-batched pandas UDF hop, zero
+    shuffles (the only exchange is _spread's small-file fan-out, absent
+    on real multi-split inputs); lineage yield (blocks kept/dropped)
+    comes out of the same hop, no second pass."""
+    from .functions.udfs import make_extract_udf
+
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    nav = F.concat(
+        F.lit("<nav><ul>"),
+        F.repeat(
+            F.lit('<li><a href="/nav">Home</a></li>'),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(3)).cast("int"),
+        ),
+        F.lit("</ul></nav>"),
+    )
+    farm = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) != 0,
+        F.lit('<ul><li><a href="/a">aaa</a></li>'
+              '<li><a href="/b">bbb</a></li></ul>'),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<header><h1>Site Title</h1></header>"), nav,
+        F.lit('<div class="main"><p>'), F.col("text"), F.lit("</p>"), farm,
+        F.lit('<p>See <a href="/more">details</a> in the archive</p></div>'),
+        F.lit('<aside><p><a href="/ad">Sponsored</a></p></aside>'),
+        F.lit('<footer><p>&copy; 2026 <a href="/t">Terms</a></p></footer>'),
+    )
+    ex = make_extract_udf()(page).alias("ex")
+    return (
+        d.select("doc_id", ex)
+        .select(
+            "doc_id",
+            F.col("ex.main_text").alias("main_text"),
+            F.col("ex.n_kept").alias("n_kept"),
+            F.col("ex.n_dropped").alias("n_dropped"),
+        )
+    )
+
+
+_ORACLE_MAIN_CONTENT = r"""
+SELECT doc_id,
+       trim(regexp_replace(text, '\s+', ' ', 'g'))
+         || chr(10) || 'See details in the archive' AS main_text,
+       2::INT AS n_kept,
+       (CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)::INT AS n_dropped
+FROM documents
+WHERE length(trim(text)) > 0
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -3562,6 +3636,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "training_pipeline_v2": (q_training_pipeline_v2, _ORACLE_TRAINING_V2),
     "dsir_importance": (q_dsir_importance, _ORACLE_DSIR),
     "bpe_merges": (q_bpe_merges, _ORACLE_BPE),
+    "main_content": (q_main_content, _ORACLE_MAIN_CONTENT),
 }
 
 

@@ -1,0 +1,138 @@
+"""Engine unit tests for main-content extraction (engine/extract.py).
+
+The extractor has no reference analog (html-sanitizer never extracts), so
+its contract is pinned here directly: kill-list semantics, atomic-block
+selection, the link-density boundary, tail/entity handling, recovery
+parsing, and recursion safety.
+"""
+
+from __future__ import annotations
+
+from html_sanitizer_spark.engine.extract import (
+    extract_main,
+    extract_main_blocks,
+)
+
+
+def test_full_page_extraction():
+    h = (
+        "<header><h1>Site Title</h1></header>"
+        '<nav><ul><li><a href="/">Home</a></li><li><a href="/b">Blog</a>'
+        "</li></ul></nav>"
+        '<div class="main"><p>The quick brown fox jumps over the lazy dog.'
+        "</p>"
+        '<ul><li><a href="/a">aaa</a></li><li><a href="/b">bbb</a></li></ul>'
+        '<p>See <a href="/more">details</a> in the archive</p></div>'
+        '<aside><p><a href="/ad">Sponsored</a></p></aside>'
+        '<footer><p>&copy; 2026 <a href="/t">Terms</a></p></footer>'
+    )
+    kept, dropped = extract_main_blocks(h)
+    assert kept == [
+        "The quick brown fox jumps over the lazy dog.",
+        "See details in the archive",
+    ]
+    assert dropped == 1  # the link-farm <ul>; nav/aside/footer are killed
+    assert extract_main(h) == (
+        "The quick brown fox jumps over the lazy dog.\n"
+        "See details in the archive"
+    )
+
+
+def test_link_density_boundary_kept_at_exactly_half():
+    # 5 link chars / 10 total = 0.5 -> kept (boundary is <=)
+    kept, dropped = extract_main_blocks('<p><a href="x">abcde</a>fgihj</p>')
+    assert kept == ["abcdefgihj"] and dropped == 0
+    # 6 / 10 = 0.6 -> dropped
+    kept, dropped = extract_main_blocks('<p><a href="x">abcdef</a>ghij</p>')
+    assert kept == [] and dropped == 1
+
+
+def test_multiple_links_sum_independently():
+    # links "ab" + "cd" = 4 of 8 -> 0.5 kept; anchor tails are content
+    kept, _ = extract_main_blocks(
+        '<p><a href="x">ab</a>ef<a href="y">cd</a>gh</p>'
+    )
+    assert kept == ["abefcdgh"]
+
+
+def test_kill_list_tail_is_content_but_text_is_not():
+    kept, dropped = extract_main_blocks(
+        "<p>before<script>evil()</script> after</p>"
+    )
+    assert kept == ["before after"] and dropped == 0
+
+
+def test_killed_nav_inside_div_does_not_block_atomicity():
+    # the div's only block descendant is inside a killed <nav>, so the
+    # div itself is the atomic block and its direct text is kept
+    kept, dropped = extract_main_blocks(
+        "<div><nav><ul><li><a href=x>L</a></li></ul></nav>real content"
+        " text</div>"
+    )
+    assert kept == ["real content text"] and dropped == 0
+
+
+def test_non_atomic_container_not_scored():
+    # outer div has block children -> never scored; a link-farm child
+    # cannot drag down the sibling paragraph
+    kept, dropped = extract_main_blocks(
+        "<div><p>good paragraph text</p>"
+        '<ul><li><a href="/1">x</a></li><li><a href="/2">y</a></li></ul>'
+        "</div>"
+    )
+    assert kept == ["good paragraph text"] and dropped == 1
+
+
+def test_list_scored_as_one_unit_not_per_item():
+    # li is not a block tag: one drop for the whole ul, not two
+    _, dropped = extract_main_blocks(
+        '<ul><li><a href="/a">aaa</a></li><li><a href="/b">bbb</a></li></ul>'
+    )
+    assert dropped == 1
+
+
+def test_empty_and_whitespace_blocks_dropped_silently():
+    kept, dropped = extract_main_blocks("<p>   </p><p></p><p>kept one</p>")
+    assert kept == ["kept one"] and dropped == 2
+
+
+def test_entities_decoded_before_scoring():
+    kept, _ = extract_main_blocks("<p>fish &amp; chips &mdash; daily</p>")
+    assert kept == ["fish & chips — daily"]
+
+
+def test_whitespace_normalized_per_block():
+    kept, _ = extract_main_blocks("<p>  a\n\n b\tc  </p>")
+    assert kept == ["a b c"]
+
+
+def test_recovery_parse_unclosed_tags():
+    kept, dropped = extract_main_blocks(
+        "<div><p>first paragraph<p>second paragraph</div>"
+    )
+    assert kept == ["first paragraph", "second paragraph"]
+    assert dropped == 0
+
+
+def test_deep_nesting_no_recursion_error():
+    h = "<div>" * 3000 + "<p>deep text here</p>" + "</div>" * 3000
+    assert extract_main(h) == "deep text here"
+
+
+def test_headings_are_blocks():
+    kept, _ = extract_main_blocks("<h2>Section</h2><p>body text</p>")
+    assert kept == ["Section", "body text"]
+
+
+def test_empty_and_none_input():
+    assert extract_main("") == ""
+    assert extract_main_blocks("") == ([], 0)
+    assert extract_main("no markup at all") == ""  # bare text: no blocks
+
+
+def test_custom_threshold():
+    # density 0.5 block: dropped when the bar is tightened to 0.4
+    kept, dropped = extract_main_blocks(
+        '<p><a href="x">abcde</a>fgihj</p>', max_link_density=0.4
+    )
+    assert kept == [] and dropped == 1
