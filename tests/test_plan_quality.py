@@ -411,3 +411,20 @@ def test_mixture_weights_plan_shape(spark):
     for chunk in plan.split("ReadSchema: ")[1:]:
         schema = chunk.splitlines()[0]
         assert "text" not in schema, plan
+
+
+def test_extraction_ops_single_python_hop_no_shuffle(spark):
+    """main_content and pdf_extract claim 'pure map, zero shuffles':
+    no hash/range repartitioning anywhere (the only allowed Exchange is
+    _spread's round-robin small-file fan-out, which disappears on real
+    multi-split inputs) and exactly ONE Arrow-batched Python stage —
+    build+extract fused into a single hop, no per-stage Python bounces."""
+    from html_sanitizer_spark.queries import q_main_content, q_pdf_extract
+
+    for q in (q_main_content, q_pdf_extract):
+        plan = _plan(q(spark, SF))
+        low = plan.lower()
+        assert "hashpartitioning" not in low, plan
+        assert "rangepartitioning" not in low, plan
+        n_py = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        assert n_py == 1, plan
