@@ -10,7 +10,10 @@ against the engine's hard invariants:
      there (the documented bounded-monotone-convergence contract);
   I2 allowlist: only configured tags appear in any pass's output;
   I3 hygiene: no control chars, no javascript: URL survives any pass;
-  I4 nofollow contract when configured.
+  I4 nofollow contract when configured;
+  E1 (r06) the main-content extractor (engine/extract.py) walks the same
+     recovered tree for every input without crashing — its kill-list /
+     atomic-block / density passes must be total over arbitrary soup.
 
 Any violation prints the minimized input and exits non-zero — that is a
 parser/cleaner bug to fix and pin. A clean run prints per-class example
@@ -30,6 +33,7 @@ import re
 import sys
 
 from html_sanitizer_spark.engine.core import sanitize
+from html_sanitizer_spark.engine.extract import extract_main_blocks
 from html_sanitizer_spark.engine.settings import Settings
 
 CLASSES: dict[str, list[str]] = {
@@ -134,6 +138,9 @@ def _check_one(args: tuple[str, int, int]) -> tuple[str, str] | None:
     html = "".join(rng.choice(parts) for _ in range(rng.randint(1, max_parts)))
     s = _CONFIGS[seed % len(_CONFIGS)]
     try:
+        kept, dropped = extract_main_blocks(html)
+        if dropped < 0 or any(k is None or k != k.strip() for k in kept):
+            return (html, f"extractor contract: kept={kept!r} dropped={dropped}")
         outs = [sanitize(html, s)]
         for _ in range(11):
             nxt = sanitize(outs[-1], s)
