@@ -42,6 +42,7 @@ from ..functions.udfs import (
 
 __all__ = [
     "sanitize_spans",
+    "extract_spans",
     "explode_spans",
     "reassemble_spans",
     "lineage_metrics",
@@ -215,6 +216,53 @@ def sanitize_spans(
     clean = sanitize_exploded(explode_spans(df), settings, salt_buckets,
                               memoize=memoize, on_error=on_error)
     return reassemble_spans(clean, two_phase=two_phase)
+
+
+def extract_spans(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    max_link_density: float = 0.5,
+    salt_buckets: int | str | None = "auto",
+    two_phase: bool = True,
+) -> DataFrame:
+    """Main-content extraction over interleaved (doc_id, spans) documents —
+    the north rule's "main-content extraction pipeline" run on the SAME
+    topology as the sanitize flagship: explode -> salted shuffle on
+    (doc_id, pos) -> ONE Arrow-batched Python hop (engine/extract.py:
+    boilerplate kill list + atomic-block link density) applied to
+    text-kind spans only -> two-phase chunked reassembly. Media-kind
+    spans pass through byte-identical and in position; the span order
+    contract is sanitize_spans' exactly (kind, media_ref, offset, order
+    preserved; text replaced by the extracted main content)."""
+    from ..functions.udfs import make_extract_udf
+
+    if salt_buckets == "auto":
+        salt_buckets = spark.sparkContext.defaultParallelism * 4
+    exploded = explode_spans(df)
+    if salt_buckets:
+        exploded = exploded.repartition(
+            salt_buckets, F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt_buckets))
+        )
+    udf = make_extract_udf(max_link_density=max_link_density)
+    applies = (F.col("span.kind") == F.lit("text")) & F.col(
+        "span.text"
+    ).isNotNull()
+    new_text = F.when(
+        applies, udf(F.col("span.text"))["main_text"]
+    ).otherwise(F.col("span.text"))
+    new_span = F.struct(
+        F.col("span.kind").alias("kind"),
+        new_text.alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    ex = exploded.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("span").isNotNull(), new_span).alias("span"),
+    )
+    return reassemble_spans(ex, two_phase=two_phase)
 
 
 def lineage_metrics(clean: DataFrame) -> DataFrame:

@@ -169,3 +169,48 @@ def test_lineage_metrics(spark):
     m = lineage_metrics(clean).collect()
     assert sum(r["n_spans"] for r in m) >= 100
     assert all(r["text_bytes_out"] >= 0 for r in m)
+
+
+def test_extract_spans_interleaved_contract(spark):
+    """extract_spans (r06): the north rule's extraction pipeline on the
+    interleaved-span topology — media spans byte-identical and in
+    position, text spans replaced by the engine extractor's output,
+    span order preserved (same contract as sanitize_spans)."""
+    from html_sanitizer_spark.engine.extract import extract_main
+    from html_sanitizer_spark.pipeline.job import extract_spans
+
+    df = golden_spans_df(spark, "default")
+    rows = {
+        r["doc_id"]: r["spans"]
+        for r in extract_spans(spark, df, salt_buckets=8).collect()
+    }
+    want = {c.case_id: c for c in CASES if c.config == "default"}
+    assert set(rows) == set(want)
+    for doc_id, case in want.items():
+        spans = rows[doc_id]
+        assert [s["kind"] for s in spans] == ["image", "text", "video"]
+        assert spans[0]["media_ref"] == f"media://pre/{doc_id}"
+        assert spans[2]["media_ref"] == f"media://post/{doc_id}"
+        assert spans[2]["text"] == "cap"
+        assert [s["offset"] for s in spans] == [0, 1, 2]
+        assert spans[1]["text"] == extract_main(case.before), doc_id
+
+
+def test_extract_spans_passes_null_and_empty_docs(spark):
+    from html_sanitizer_spark.pipeline.job import extract_spans
+    from html_sanitizer_spark.pipeline.synth import DOC_SCHEMA
+
+    df = spark.createDataFrame(
+        [
+            {"doc_id": "empty", "spans": []},
+            {"doc_id": "null_text", "spans": [
+                {"kind": "text", "text": None, "media_ref": "", "offset": 0}
+            ]},
+        ],
+        schema=DOC_SCHEMA,
+    )
+    rows = {
+        r["doc_id"]: r["spans"] for r in extract_spans(spark, df).collect()
+    }
+    assert rows["empty"] == []
+    assert rows["null_text"][0]["text"] is None
