@@ -3646,6 +3646,132 @@ FROM ln GROUP BY doc_id
 """
 
 
+def q_line_dedup(spark, sf_dir, df_threshold: int = 3):
+    """Boilerplate line removal (RefinedWeb/CCNet line-level filter —
+    public method): a text unit occurring in >= ``df_threshold`` DISTINCT
+    documents is boilerplate (nav text, cookie banners, footers) and is
+    removed from EVERY document — including the first occurrence, which
+    is what distinguishes this from ``paragraph_dedup``'s
+    keep-first-occurrence semantics. Units here are 10-word chunks (the
+    corpus is single-line; same pseudo-paragraph convention as
+    paragraph_dedup). To make the stage bind on the synthetic corpus,
+    each document is prefixed with a deterministic 10-word banner
+    (one shared by 3/4 of docs, another by the remaining 1/4 — both far
+    over threshold, removed everywhere) and doc_id%97==0 docs carry a
+    third cookie-banner chunk (df ~ 5 at sf0.001, also removed); organic
+    text chunks survive UNLESS the document text itself is duplicated
+    >= threshold times in the corpus (the sf corpora contain such
+    duplicates by construction), which both engines must agree on.
+
+    100 TB shape: chunking is map-side (zipped slice transform); the
+    document-frequency table is ONE digest-keyed groupBy with map-side
+    partial countDistinct; the chunk stream joins back on digest — a hot
+    boilerplate digest (every doc carries the banner) is exactly the
+    AQE-skew-join case, same posture as lm_bigram's scoring join, and
+    the joined payload is all-scalar (digest, doc_id, idx) + one chunk
+    string. Reassembly is one per-doc groupBy. Nothing corpus-squared."""
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    banner = F.when(
+        F.pmod(F.col("doc_id"), F.lit(4)) < 3,
+        F.lit("subscribe to our newsletter today for free updates now please"),
+    ).otherwise(
+        F.lit("rare personal preface written only for this single document"),
+    )
+    aug = F.concat_ws(
+        " ",
+        banner,
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(97)) == 0,
+            F.lit("click here to accept cookies and continue reading more"),
+        ),
+        F.col("text"),
+    )
+    ws = F.split(aug, " ")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), (F.ceil(F.size(ws) / F.lit(10)) - F.lit(1)).cast("int")
+        ),
+        lambda i: F.array_join(F.slice(ws, i * 10 + 1, 10), " "),
+    )
+    ch = d.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    ).withColumn("ph", F.md5("chunk"))
+    dfreq = ch.groupBy("ph").agg(
+        F.countDistinct("doc_id").alias("chunk_df")
+    )
+    joined = ch.join(dfreq, "ph")
+    kept = joined.filter(F.col("chunk_df") < df_threshold)
+    per_doc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("chunk")))
+                ),
+                lambda kv: kv["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        per_doc.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_chunks").cast("int").alias("n_chunks"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+_ORACLE_LINE_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(' ',
+           CASE WHEN doc_id % 4 < 3
+                THEN 'subscribe to our newsletter today for free updates now please'
+                ELSE 'rare personal preface written only for this single document'
+           END,
+           CASE WHEN doc_id % 97 = 0
+                THEN 'click here to accept cookies and continue reading more'
+           END,
+           text) AS aug
+  FROM documents WHERE length(trim(text)) > 0),
+w AS (
+  SELECT doc_id, string_split(aug, ' ') AS ws FROM d),
+ch AS (
+  SELECT doc_id, i - 1 AS idx,
+         array_to_string(ws[(i - 1) * 10 + 1 : i * 10], ' ') AS chunk
+  FROM (SELECT doc_id, ws,
+               unnest(range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1)) AS i
+        FROM w)),
+dfreq AS (
+  SELECT md5(chunk) AS ph, count(DISTINCT doc_id) AS chunk_df
+  FROM ch GROUP BY md5(chunk)),
+kept AS (
+  SELECT ch.doc_id, ch.idx, ch.chunk
+  FROM ch JOIN dfreq ON md5(ch.chunk) = dfreq.ph
+  WHERE dfreq.chunk_df < 3),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT per_doc.doc_id,
+       coalesce(rebuilt.clean_text, '') AS clean_text,
+       per_doc.n_chunks::INT AS n_chunks,
+       (per_doc.n_chunks - coalesce(rebuilt.n_kept, 0))::INT AS n_removed
+FROM per_doc LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 _ORACLE_MAIN_CONTENT = r"""
 SELECT doc_id,
        trim(regexp_replace(text, '\s+', ' ', 'g'))
@@ -3720,6 +3846,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "bpe_merges": (q_bpe_merges, _ORACLE_BPE),
     "main_content": (q_main_content, _ORACLE_MAIN_CONTENT),
     "pdf_extract": (q_pdf_extract, _ORACLE_PDF_EXTRACT),
+    "line_dedup": (q_line_dedup, _ORACLE_LINE_DEDUP),
 }
 
 
