@@ -428,3 +428,18 @@ def test_extraction_ops_single_python_hop_no_shuffle(spark):
         assert "rangepartitioning" not in low, plan
         n_py = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
         assert n_py == 1, plan
+
+
+def test_line_dedup_no_cartesian_hash_exchanges_only(spark):
+    """line_dedup's joins must stay key-hashed (digest / doc_id): no
+    cartesian or nested-loop fallback, no range partitioning (doc-local
+    array_sort does the ordering, never a global sort), and the document-
+    frequency aggregation keeps its map-side partial (two HashAggregates
+    around the ph Exchange)."""
+    from html_sanitizer_spark.queries import q_line_dedup
+
+    plan = _plan(q_line_dedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 2, plan
