@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 # with the --py-files zip on PYTHONPATH (also works under python -m)
 from html_sanitizer_spark.configs import settings_for
 from html_sanitizer_spark.pipeline.checkpoint import run_checkpointed
-from html_sanitizer_spark.pipeline.job import sanitize_spans
+from html_sanitizer_spark.pipeline.job import extract_spans, sanitize_spans
 from html_sanitizer_spark.pipeline.session import get_spark
 from html_sanitizer_spark.pipeline.synth import DOC_SCHEMA
 
@@ -90,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="per-worker sanitize output cache size (exact; for"
                          " boilerplate-heavy corpora)")
     ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--mode", choices=("sanitize", "extract"),
+                    default="sanitize",
+                    help="sanitize = allowlist-rewrite text spans (default);"
+                         " extract = main-content extraction (boilerplate"
+                         " strip via DOM heuristics, engine/extract.py) on"
+                         " the same interleaved-span topology — single"
+                         " write, no checkpoint stage")
+    ap.add_argument("--max-link-density", type=float, default=0.5,
+                    help="extract mode: atomic-block link-density keep bar")
     args = ap.parse_args(argv)
 
     settings = settings_for(args.config)  # fail fast on bad config
@@ -97,6 +106,19 @@ def main(argv: list[str] | None = None) -> int:
     active = SparkSession.getActiveSession()
     spark = active or get_spark("sanitize-job", parallelism=args.parallelism)
     df = read_input(spark, args.input, args.format)
+
+    if args.mode == "extract":
+        out = extract_spans(
+            spark, df, max_link_density=args.max_link_density,
+            salt_buckets=args.salt,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"input": args.input, "output": args.output,
+                          "mode": "extract", "buckets_done":
+                          "all (single write)"}))
+        if active is None:
+            spark.stop()
+        return 0
 
     if args.no_checkpoint or args.nested:
         out = sanitize_spans(

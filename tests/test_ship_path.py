@@ -114,3 +114,31 @@ def test_cli_json_and_csv_sources(spark, tmp_path):
         "m1": "<p>line one\nline two</p>",
         "m2": 'says "hi"\nand <b>bye</b>',
     }
+
+
+def test_cli_extract_mode(spark, tmp_path):
+    """r06 --mode extract: the north rule's main-content extraction
+    pipeline reachable from the same spark-submit driver — boilerplate
+    (nav/footer, link-dense blocks) stripped from text spans, media
+    spans untouched, span order preserved."""
+    from html_sanitizer_spark.pipeline.cli import main
+
+    e_in = tmp_path / "ein"
+    e_in.mkdir()
+    (e_in / "docs.json").write_text(
+        '{"doc_id": "e1", "spans": ['
+        '{"kind": "text", "text": "<nav><a href=/>Home</a></nav>'
+        '<p>real article body</p>'
+        '<ul><li><a href=/a>aaa</a></li><li><a href=/b>bbb</a></li></ul>'
+        '<footer>c 2026</footer>", "media_ref": "", "offset": 0}, '
+        '{"kind": "image", "text": "", "media_ref": "m://e", "offset": 1}'
+        "]}\n"
+    )
+    e_out = str(tmp_path / "eout")
+    assert main(["--input", str(e_in), "--format", "json",
+                 "--output", e_out, "--mode", "extract", "--salt", "2"]) == 0
+    rows = {r["doc_id"]: r["spans"]
+            for r in spark.read.parquet(e_out).collect()}
+    assert rows["e1"][0]["text"] == "real article body"
+    assert rows["e1"][1]["media_ref"] == "m://e"
+    assert [s["offset"] for s in rows["e1"]] == [0, 1]
