@@ -168,7 +168,8 @@ SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
 SCALING_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "40"))
 
 
-def _one_shot_scaling(sf_dir: str, cpus: int, executors: int | None = None) -> None:
+def _one_shot_scaling(sf_dir: str, cpus: int, executors: int | None = None,
+                      ex_cores: int = 2) -> None:
     """Subprocess leg: time the salted sanitize pipeline at one parallelism
     level. The synthetic corpus (60k docs incl. mega-docs) is materialized
     to parquet first so the measured job is the real topology — storage
@@ -176,9 +177,11 @@ def _one_shot_scaling(sf_dir: str, cpus: int, executors: int | None = None) -> N
     with no in-line generation cost. Best-of-3 to damp shared-host noise;
     the sanitize text forced via a length-sum so the UDF can't be pruned.
 
-    ``executors=N`` runs the leg on ``local-cluster[N,2,2048]`` — N real
-    executor JVMs — instead of local[cpus] threads: the faithful N->4N
-    EXECUTOR form of the north rule's criterion (--scaling-executors)."""
+    ``executors=N`` runs the leg on ``local-cluster[N,ex_cores,2048]`` — N
+    real executor JVMs — instead of local[cpus] threads: the faithful
+    N->4N EXECUTOR form of the north rule's criterion
+    (--scaling-executors). ``ex_cores=1`` keeps even an 8-executor high
+    leg inside this box's memory-bus headroom region (<=8 of 32 cores)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -197,9 +200,9 @@ def _one_shot_scaling(sf_dir: str, cpus: int, executors: int | None = None) -> N
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "scripts", "build_pyfiles.py"), zip_path],
                check=True, capture_output=True)
-        cpus = executors * 2
+        cpus = executors * ex_cores
         spark = get_spark(f"scale-ex{executors}", executors=executors,
-                          shuffle_partitions=cpus,
+                          executor_cores=ex_cores, shuffle_partitions=cpus,
                           extra_conf={"spark.submit.pyFiles": zip_path})
     else:
         spark = get_spark(f"scale-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
@@ -326,7 +329,7 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
 
 
 def run_scaling_executors(sf_dir: str, low_ex: int, high_ex: int,
-                          rounds: int = 2) -> dict:
+                          rounds: int = 2, ex_cores: int = 2) -> dict:
     """The north rule's criterion in its LITERAL form: the same job at N
     and 4N EXECUTORS — each a real separate JVM (own heap/GC/Python
     workers) under local-cluster[N,2,2048] — rather than N vs 4N threads
@@ -338,7 +341,8 @@ def run_scaling_executors(sf_dir: str, low_ex: int, high_ex: int,
         for ex in (low_ex, high_ex):
             out = subprocess.run(
                 [sys.executable, __file__, "--one-shot-scaling",
-                 "--executors", str(ex), "--sf-dir", sf_dir],
+                 "--executors", str(ex), "--ex-cores", str(ex_cores),
+                 "--sf-dir", sf_dir],
                 capture_output=True, text=True, check=True,
             )
             leg = json.loads(out.stdout.strip().splitlines()[-1])
@@ -346,10 +350,10 @@ def run_scaling_executors(sf_dir: str, low_ex: int, high_ex: int,
                 legs[ex] = leg
     t_low, t_high = legs[low_ex]["sec"], legs[high_ex]["sec"]
     efficiency = round((t_low / t_high) / (high_ex / low_ex), 3)
-    control = _cpu_control(low_ex * 2, high_ex * 2)
+    control = _cpu_control(low_ex * ex_cores, high_ex * ex_cores)
     return {
         "workload": "sanitize_docs_exploded",
-        "mode": "local-cluster multi-executor JVMs (2 cores, 2 GB each)",
+        "mode": f"local-cluster multi-executor JVMs ({ex_cores} core(s), 2 GB each)",
         "sf": sf_dir,
         "low": legs[low_ex],
         "high": legs[high_ex],
@@ -479,6 +483,8 @@ if __name__ == "__main__":
                     help="one-shot leg on local-cluster[N,2,2048]")
     ap.add_argument("--low-ex", type=int, default=2)
     ap.add_argument("--high-ex", type=int, default=8)
+    ap.add_argument("--ex-cores", type=int, default=2,
+                    help="cores per executor JVM in the scaling legs")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     # 4 vs 16: a 4x step inside this host's near-linear region — the box
@@ -490,9 +496,11 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     if args.one_shot_scaling:
-        _one_shot_scaling(args.sf_dir, args.cpus, executors=args.executors)
+        _one_shot_scaling(args.sf_dir, args.cpus, executors=args.executors,
+                          ex_cores=args.ex_cores)
     elif args.scaling_executors:
-        report = run_scaling_executors(args.sf_dir, args.low_ex, args.high_ex)
+        report = run_scaling_executors(args.sf_dir, args.low_ex,
+                                       args.high_ex, ex_cores=args.ex_cores)
         write_report_preserving("BENCH_SCALING_EXECUTORS.json", report)
         print(json.dumps(report))
     elif args.big_dedup:
