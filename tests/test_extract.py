@@ -136,3 +136,43 @@ def test_custom_threshold():
         '<p><a href="x">abcde</a>fgihj</p>', max_link_density=0.4
     )
     assert kept == [] and dropped == 1
+
+
+# ---------------------------------------------------------------------------
+# properties: constructed pages with known-density blocks extract exactly
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8),
+    min_size=1,
+    max_size=12,
+).map(" ".join)
+
+
+@hyp_settings(max_examples=200, deadline=None)
+@given(content=_words, n_nav=st.integers(1, 5))
+def test_constructed_page_property(content, n_nav):
+    """Any plain-word paragraph survives extraction verbatim; any number
+    of killed-tag/nav siblings and a link-farm never leak into it."""
+    nav = "<nav><ul>" + '<li><a href="/x">Home</a></li>' * n_nav + "</ul></nav>"
+    page = (
+        f"<header><h1>T</h1></header>{nav}<div><p>{content}</p>"
+        '<ul><li><a href="/a">aaa</a></li><li><a href="/b">bbb</a></li>'
+        "</ul></div><footer><a href='/t'>Terms</a></footer>"
+    )
+    kept, dropped = extract_main_blocks(page)
+    assert kept == [content]
+    assert dropped == 1
+
+
+@hyp_settings(max_examples=200, deadline=None)
+@given(link_text=_words, body=_words)
+def test_density_decision_matches_definition(link_text, body):
+    """The keep/drop decision must equal the documented formula computed
+    independently: len(norm(link)) / len(norm('link body'))."""
+    html = f'<p><a href="/x">{link_text}</a> {body}</p>'
+    kept, dropped = extract_main_blocks(html)
+    full = f"{link_text} {body}"
+    expect_keep = len(link_text) / len(full) <= 0.5
+    assert (kept == [full] and dropped == 0) == expect_keep

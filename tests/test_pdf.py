@@ -109,3 +109,31 @@ def _wrap_raw_stream(content: bytes, extra_dict: bytes = b"") -> bytes:
         + extra_dict + b" >>\nstream\n" + content
         + b"\nendstream\nendobj\ntrailer\n<< >>\n%%EOF\n"
     )
+
+
+# ---------------------------------------------------------------------------
+# property: build -> extract round-trips arbitrary printable-ASCII lines
+# through every operator/compression path and any emission order
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+_line = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=60,
+)
+
+
+@hyp_settings(max_examples=300, deadline=None)
+@given(
+    lines=st.lists(_line, min_size=0, max_size=20),
+    op=st.sampled_from(["Tj", "TJ", "hex"]),
+    compress=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_round_trip_property(lines, op, compress, seed):
+    import random
+
+    order = list(range(len(lines)))
+    random.Random(seed).shuffle(order)
+    pdf = build_pdf(lines, compress=compress, op=op, emit_order=order)
+    assert extract_pdf_text(pdf) == "\n".join(lines)
