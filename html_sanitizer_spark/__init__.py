@@ -16,5 +16,6 @@ Layout:
 __version__ = "0.1.0"
 
 from .engine.core import sanitize  # noqa: F401
+from .engine.extract import extract_main, extract_main_blocks  # noqa: F401
 from .engine.settings import Settings, get_settings  # noqa: F401
 from .sanitizer_api import Sanitizer, get_sanitizer  # noqa: F401
