@@ -1261,6 +1261,14 @@ def q_simhash(spark, sf_dir):
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok")
     ).filter(F.col("tok") != "")
+    return _simhash_of_tokens(tok)
+
+
+def _simhash_of_tokens(tok: DataFrame) -> DataFrame:
+    """(doc_id, tok) stream -> (doc_id, simhash BIGINT). Shared by
+    q_simhash (raw corpus basis) and q_simhash_neardup (augmented basis);
+    extracting the vote/sign pipeline keeps the sketch definition single-
+    sourced so the two oracles can't drift apart."""
     h = tok.select("doc_id", F.md5("tok").alias("h"))
     # bit b of the 64-bit hash = bit (b % 4) of hex nibble (b // 4)
     nibbles = [
@@ -1291,8 +1299,10 @@ def q_simhash(spark, sf_dir):
     return v.select("doc_id", expr.alias("simhash"))
 
 
-def _simhash_oracle_sql() -> str:
-    """Generated (deterministic) DuckDB twin of q_simhash."""
+def _simhash_oracle_ctes(text_source: str = "SELECT doc_id, text FROM documents") -> str:
+    """Generated (deterministic) DuckDB twin of _simhash_of_tokens as a
+    chain of CTE bodies ending in ``s(doc_id, simhash)``; callers embed it
+    in a WITH clause. ``text_source`` must select (doc_id, text)."""
     votes = ", ".join(
         "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
         " >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}".format(
@@ -1310,19 +1320,19 @@ def _simhash_oracle_sql() -> str:
         )
         for b in range(64)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, t AS tok
   FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS t
-        FROM documents)
+        FROM ({text_source}))
   WHERE t <> ''),
 h AS (SELECT doc_id, md5(tok) AS h FROM tok),
-v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
-SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM v
-"""
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM v)"""
 
 
-_ORACLE_SIMHASH = _simhash_oracle_sql()
+_ORACLE_SIMHASH = (
+    "WITH " + _simhash_oracle_ctes() + "\nSELECT doc_id, simhash FROM s"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3783,6 +3793,291 @@ WHERE length(trim(text)) > 0
 """
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate detection (Manku/Jain/Sarma WWW'07 shape —
+    public method): 64-bit SimHash per doc, banded into 4x16-bit keys;
+    docs sharing any band are candidates; candidates verified by Hamming
+    distance <= 3 (bit_count of XOR). To make NEAR (not just exact)
+    duplicates bind on the synthetic corpus, even doc_ids append a
+    deterministic marker token ("novelty" || doc_id%3): corpus
+    duplicate-text pairs then land at Hamming 0 (both odd / same marker)
+    or small-but-nonzero distances (one marker differs by one token's
+    votes), exercising both the banding recall and the distance filter.
+
+    100 TB shape: the sketch is map-side (same vote pipeline as
+    q_simhash); banding is a 4-way stack + ONE groupBy on
+    (band_idx, band_val); oversized buckets (> 100 docs — a band value
+    shared that widely carries no discriminating power) are dropped
+    before pairing, which bounds collect_list state and keeps the
+    expansion map-side quadratic-free, exactly the q_dedup_minhash_pairs
+    skew guard; Hamming verification is per-pair scalar arithmetic, no
+    second corpus scan."""
+    d = _spread(spark, _docs(spark, sf_dir))
+    aug = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(
+                F.lit("novelty"), F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+            ),
+        ),
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(aug, " +")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sig = _simhash_of_tokens(tok)
+    stacked = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * k)
+                    .bitwiseAND(F.lit(65535))
+                    for k in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    buckets = (
+        stacked.groupBy("band_idx", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("docs")
+        )
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= 100))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (a, i) -> transform("
+                    "slice(docs, i + 2, greatest(size(docs) - i - 1, 0)),"
+                    " b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,"
+                    " a.simhash AS sim_a, b.simhash AS sim_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_ORACLE_SIMHASH_NEARDUP = (
+    "WITH "
+    + _simhash_oracle_ctes(
+        "SELECT doc_id, concat_ws(' ', text, CASE WHEN doc_id % 2 = 0 "
+        "THEN 'novelty' || (doc_id % 3)::VARCHAR END) AS text FROM documents"
+    )
+    + """,
+bands AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (16 * band_idx)) & 65535 AS band_val
+  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+kept AS (
+  SELECT doc_id, simhash, band_idx, band_val FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bucket_n
+    FROM bands)
+  WHERE bucket_n BETWEEN 2 AND 100),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Duplicated-substring fraction filter (Lee et al. 2022 /
+    Gopher-repetition shape — public method): stride-1 windows of 10
+    whitespace tokens, window digest document frequency over DISTINCT
+    docs, per-doc fraction of windows whose digest appears in >= 2 docs;
+    flag docs past 0.3 (threshold compares the ROUNDED fraction — the
+    engine-determinism convention from lm_bigram/dsir). Differs from
+    paragraph_dedup/line_dedup in the unit: OVERLAPPING windows catch
+    duplicated passages that straddle chunk boundaries. To make partial
+    (not just whole-doc) duplication bind, docs with doc_id%5<2 are
+    prefixed with a shared 10-word disclaimer — exactly one of their
+    windows (the pure-prologue one) is shared corpus-wide, while
+    prologue/text straddling windows stay unique; corpus duplicate-text
+    docs reach fraction ~1.0 organically.
+
+    100 TB shape: windowing is a map-side zipped-slice transform (no
+    explode-join-explode); document frequency is ONE digest-keyed groupBy
+    with map-side partial countDistinct; the window stream joins back on
+    digest (hot boilerplate digest = the AQE skew-join posture,
+    all-scalar payload) and folds straight into the per-doc agg. Short
+    docs (< 10 tokens) contribute one whole-doc window, so n_windows is
+    never zero and the fraction is total."""
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    aug = F.concat_ws(
+        " ",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) < 2,
+            F.lit(
+                "this standard legal disclaimer precedes many documents in this corpus"
+            ),
+        ),
+        F.col("text"),
+    )
+    ws = F.split(aug, " ")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - F.lit(10), F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, 10), " "),
+    )
+    w = d.select(
+        "doc_id", F.explode(windows).alias("w")
+    ).withColumn("wh", F.md5("w"))
+    dfreq = w.groupBy("wh").agg(
+        F.countDistinct("doc_id").alias("wdf")
+    )
+    per_doc = (
+        w.join(dfreq, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("wdf") >= 2).cast("int")).alias("n_dup"),
+        )
+    )
+    frac = F.round(F.col("n_dup") / F.col("n_windows"), 4)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_windows").cast("int").alias("n_windows"),
+        F.col("n_dup").cast("int").alias("n_dup"),
+        frac.alias("dup_frac"),
+        (frac > 0.3).cast("int").alias("flagged"),
+    )
+
+
+_ORACLE_SUBSTRING_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(' ',
+           CASE WHEN doc_id % 5 < 2
+                THEN 'this standard legal disclaimer precedes many documents in this corpus'
+           END,
+           text) AS aug
+  FROM documents WHERE length(trim(text)) > 0),
+wsrc AS (
+  SELECT doc_id, string_split(aug, ' ') AS ws FROM d),
+w AS (
+  SELECT doc_id,
+         array_to_string(ws[i + 1 : i + 10], ' ') AS w
+  FROM (SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - 10, 0) + 1)) AS i
+        FROM wsrc)),
+dfreq AS (
+  SELECT md5(w) AS wh, count(DISTINCT doc_id) AS wdf
+  FROM w GROUP BY md5(w)),
+per_doc AS (
+  SELECT w.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN dfreq.wdf >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM w JOIN dfreq ON md5(w.w) = dfreq.wh
+  GROUP BY w.doc_id)
+SELECT doc_id,
+       n_windows::INT AS n_windows,
+       n_dup::INT AS n_dup,
+       round(n_dup / n_windows, 4) AS dup_frac,
+       (CASE WHEN round(n_dup / n_windows, 4) > 0.3 THEN 1 ELSE 0 END)::INT
+         AS flagged
+FROM per_doc
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document TF-IDF top-3 terms (corpus keyword extraction — the
+    classic Salton weighting with smooth idf, sklearn convention:
+    tf * (ln((N+1)/(df+1)) + 1)). Ranking sorts on the score rounded to
+    6 decimals (descending) with the term string as tiebreak, so the
+    order is engine-deterministic even when two (tf, df) combinations
+    land within double rounding noise of each other; the emitted score
+    is rounded to the repo-wide 4-decimal grain.
+
+    100 TB shape: tf is ONE (doc_id, token) groupBy with map-side
+    partials; df is vocabulary-sized (AQE broadcasts it back into the
+    token join at runtime — no forced hint, the q_ngram_jaccard
+    contract); N is a 1-row scalar crossJoin (the bounded-collect
+    contract); the top-k window partitions by doc_id only — doc-local
+    sort, never a global orderBy."""
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df_n"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n)
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df_n") + 1)) + 1),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(win))
+        .filter(F.col("term_rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("term_rank").cast("int").alias("term_rank"),
+            "term",
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
+_ORACLE_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS t
+        FROM documents WHERE length(trim(text)) > 0)
+  WHERE t <> ''),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df_n FROM tok GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1) / (dfreq.df_n + 1)) + 1) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(score, 6) DESC, term) AS term_rank
+  FROM scored)
+SELECT doc_id, term_rank::INT AS term_rank, term,
+       round(score, 4) AS tfidf
+FROM ranked WHERE term_rank <= 3
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -3847,6 +4142,9 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "main_content": (q_main_content, _ORACLE_MAIN_CONTENT),
     "pdf_extract": (q_pdf_extract, _ORACLE_PDF_EXTRACT),
     "line_dedup": (q_line_dedup, _ORACLE_LINE_DEDUP),
+    "simhash_neardup": (q_simhash_neardup, _ORACLE_SIMHASH_NEARDUP),
+    "substring_dedup": (q_substring_dedup, _ORACLE_SUBSTRING_DEDUP),
+    "tfidf_topk": (q_tfidf_topk, _ORACLE_TFIDF),
 }
 
 
