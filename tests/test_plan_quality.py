@@ -443,3 +443,55 @@ def test_line_dedup_no_cartesian_hash_exchanges_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_simhash_neardup_map_side_pairs_no_self_join(spark):
+    """simhash_neardup's 100TB claim: candidate pairs are expanded
+    MAP-SIDE from capped band buckets (the minhash-pairs topology), never
+    a band-key self-join — so no cartesian/nested-loop fallback anywhere,
+    no range partitioning / global sort, the bucket cap is in the plan,
+    and the 64-bit vote aggregation keeps its map-side partial."""
+    import re
+
+    from html_sanitizer_spark.queries import q_simhash_neardup
+
+    plan = _plan(q_simhash_neardup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
+    # the oversized-bucket skew guard must survive into the physical plan
+    assert re.search(r"size\(docs#\d+[^)]*\) <= 100", plan), plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_substring_dedup_hash_exchanges_only(spark):
+    """substring_dedup mirrors the line_dedup contract: digest/doc_id
+    hash joins only, no cartesian or nested-loop fallback, no range
+    partitioning (nothing is globally sorted), and the window-digest
+    document-frequency aggregation keeps its map-side partial."""
+    from html_sanitizer_spark.queries import q_substring_dedup
+
+    plan = _plan(q_substring_dedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tfidf_topk_doc_local_sort_single_scalar_cross(spark):
+    """tfidf_topk's 100TB claim: the only non-hash join is the 1-row
+    scalar N broadcast (BroadcastNestedLoop by necessity, same contract
+    as domain_quality_filter's threshold); the top-k window sorts
+    partition-locally under hashpartitioning(doc_id) — never a global
+    Sort or range partitioning."""
+    import re
+
+    from html_sanitizer_spark.queries import q_tfidf_topk
+
+    plan = _plan(q_tfidf_topk(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
+    assert "hashpartitioning(doc_id" in plan, plan
