@@ -2806,6 +2806,19 @@ def q_bpe_merges(spark, sf_dir, k: int = 5):
     and a 1-row TakeOrderedAndProject collected to the driver (the same
     bounded-collect contract as the CC convergence probe). The k rounds
     are a driver loop over lazily-chained vocab-sized plans."""
+    merges, _ = _bpe_learn(spark, sf_dir, k)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "weighted_count bigint",
+    )
+
+
+def _bpe_learn(spark, sf_dir, k: int):
+    """Shared BPE learner: returns (merge table rows, final vocabulary
+    frame (word, freq, sym) with all k merges applied). Single-sourced so
+    q_bpe_merges (the merge artifact) and q_bpe_encode (the apply stage)
+    cannot drift."""
     d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
     words = (
         d.select(
@@ -2862,17 +2875,63 @@ def q_bpe_merges(spark, sf_dir, k: int = 5):
                 )
             ).alias("sym"),
         )
-    return spark.createDataFrame(
-        merges,
-        "step int, left_sym string, right_sym string, merged string, "
-        "weighted_count bigint",
+    return merges, repr_df
+
+
+def q_bpe_encode(spark, sf_dir, k: int = 5):
+    """BPE merge application (the tokenizer's encode stage, completing
+    the learn->apply story started by q_bpe_merges): the k learned merges
+    are applied to the corpus VOCABULARY (same leftmost non-overlapping
+    replace semantics, single-sourced via _bpe_learn), each distinct word
+    gets its post-merge subword count, and the per-document word stream
+    joins that vocabulary to emit per-doc tokenization stats — word
+    count, subword count, and mean subwords/word (the compression the
+    merges bought, rounded to the repo-wide 4-decimal grain).
+
+    100 TB shape: merge application is VOCABULARY-sized (driver loop of
+    k literal replaces on the distinct-word frame — never touches the
+    corpus); the per-doc word stream is the only corpus-sized stage and
+    it joins the vocab on the word key (AQE broadcasts the small vocab
+    side at runtime — no forced hint, the q_ngram_jaccard contract) then
+    folds into ONE per-doc agg. Zipf skew on hot words is bounded by the
+    broadcast: no shuffle keyed by word ever happens."""
+    _, vocab = _bpe_learn(spark, sf_dir, k)
+    vocab_n = vocab.select(
+        "word", F.size(F.split(F.col("sym"), " ")).alias("n_sym")
+    )
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    dw = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: F.length(w) >= 2,
+            )
+        ).alias("word"),
+    )
+    return (
+        dw.join(vocab_n, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("n_subwords").cast("int").alias("n_subwords"),
+            F.round(F.col("n_subwords") / F.col("n_words"), 4).alias(
+                "avg_subwords"
+            ),
+        )
     )
 
 
-def _bpe_oracle_sql(k: int = 5) -> str:
-    """Generated DuckDB twin of q_bpe_merges: k chained CTE rounds, each
-    with the same pair count -> (c DESC, w1, w2) top-1 -> literal replace
-    as the Spark driver loop."""
+def _bpe_oracle_ctes(k: int = 5) -> str:
+    """Generated DuckDB twin of _bpe_learn as a WITH-chain ending in the
+    fully-merged vocabulary CTE ``r{k}`` (plus the per-round top-pair
+    CTEs ``t0..t{k-1}``); q_bpe_merges' and q_bpe_encode's oracles append
+    their own tails so the learner SQL is single-sourced."""
     sql = r"""WITH words AS (
   SELECT w AS word, count(*)::BIGINT AS freq FROM (
     SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2898,15 +2957,45 @@ r{i + 1} AS (
                       ' ' || t{i}.w1 || ' ' || t{i}.w2 || ' ',
                       ' ' || t{i}.w1 || t{i}.w2 || ' ')) AS sym
   FROM r{i} CROSS JOIN t{i})"""
+    return sql
+
+
+def _bpe_oracle_sql(k: int = 5) -> str:
+    """q_bpe_merges oracle: the learner chain + the merge-table union."""
     union = " UNION ALL ".join(
         f"SELECT step, w1 AS left_sym, w2 AS right_sym, "
         f"w1 || w2 AS merged, c AS weighted_count FROM t{i}"
         for i in range(k)
     )
-    return sql + "\n" + union
+    return _bpe_oracle_ctes(k) + "\n" + union
+
+
+def _bpe_encode_oracle_sql(k: int = 5) -> str:
+    """q_bpe_encode oracle: the learner chain + vocabulary subword counts
+    + the per-document word-stream join and rollup."""
+    return (
+        _bpe_oracle_ctes(k)
+        + f""",
+vocab AS (
+  SELECT word, len(string_split(sym, ' '))::BIGINT AS n_sym FROM r{k}),
+dw AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) >= 2)) AS w
+    FROM documents WHERE n_chars > 0))
+SELECT dw.doc_id,
+       count(*)::INT AS n_words,
+       sum(vocab.n_sym)::INT AS n_subwords,
+       round(sum(vocab.n_sym) / count(*), 4) AS avg_subwords
+FROM dw JOIN vocab USING (word)
+GROUP BY dw.doc_id
+"""
+    )
 
 
 _ORACLE_BPE = _bpe_oracle_sql()
+_ORACLE_BPE_ENCODE = _bpe_encode_oracle_sql()
 
 
 def q_dsir_importance(spark, sf_dir, n_buckets: int = 1024,
@@ -4139,6 +4228,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "training_pipeline_v2": (q_training_pipeline_v2, _ORACLE_TRAINING_V2),
     "dsir_importance": (q_dsir_importance, _ORACLE_DSIR),
     "bpe_merges": (q_bpe_merges, _ORACLE_BPE),
+    "bpe_encode": (q_bpe_encode, _ORACLE_BPE_ENCODE),
     "main_content": (q_main_content, _ORACLE_MAIN_CONTENT),
     "pdf_extract": (q_pdf_extract, _ORACLE_PDF_EXTRACT),
     "line_dedup": (q_line_dedup, _ORACLE_LINE_DEDUP),

@@ -495,3 +495,18 @@ def test_tfidf_topk_doc_local_sort_single_scalar_cross(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert not re.search(r"Sort \[.*?\], true", plan), plan
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_bpe_encode_corpus_join_no_word_shuffle_agg_partials(spark):
+    """bpe_encode's 100TB claim: merge application is vocabulary-sized,
+    and the corpus word stream never keys a shuffle by word — the vocab
+    join broadcasts (AQE at runtime; under the no-hint contract the plan
+    must at least avoid cartesian/nested-loop fallback and range
+    partitioning), with map-side partials on the per-doc rollup."""
+    from html_sanitizer_spark.queries import q_bpe_encode
+
+    plan = _plan(q_bpe_encode(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 2, plan
