@@ -4167,6 +4167,174 @@ FROM ranked WHERE term_rank <= 3
 """
 
 
+def q_link_pagerank(spark, sf_dir, k: int = 3, damping: float = 0.85):
+    """Link-graph PageRank (the crawl-graph quality signal web-scale
+    corpus pipelines feed into document scoring — Page et al. 1999,
+    public method), k=3 damped iterations with full dangling-mass
+    redistribution. The sandbox has no real hyperlink table, so the edge
+    list is derived deterministically from CONTENT digests (three
+    md5-slice targets per doc modulo the id space, self-loops dropped,
+    targets semi-joined to existing docs) — the stand-in for the
+    outlink extraction a crawler does at fetch time; every downstream
+    stage (degree table, contribution join, dangling handling, damped
+    update) is the real algorithm. Emitted ranks are normalized to
+    mean 1.0 (rank * N) at the repo-wide 4-decimal grain.
+
+    Arithmetic is FIXED-POINT: ranks are BIGINT mass units at scale 1e15
+    and every division is floor division on positive integers, so the
+    iteration is bit-identical across engines (the integer-basis-points
+    convention from domain_quality_filter) — a floating PageRank's
+    order-dependent double sums flip the 4th decimal at rounding
+    boundaries between engines (observed at sf0.001), which is a
+    verification property, not an algorithm change; production would run
+    the same topology in doubles.
+
+    100 TB shape: edges are map-side digest arithmetic + ONE distinct +
+    a semi-join on dst; each iteration is edges ⋈ out-degree ⋈ ranks
+    (all hash joins on node keys) folding into a dst-keyed groupBy with
+    map-side partials; dangling mass is a 1-row scalar (anti-join agg,
+    crossJoined back — the bounded-scalar contract); ranks stay
+    node-sized throughout. k is fixed and small so the lazily-chained
+    plan stays shallow; a production many-iteration run would
+    localCheckpoint per round exactly like the CC loop in
+    _neardup_labels (documented trade, not needed at k=3)."""
+    scale = 10 ** 15
+    num = int(round(damping * 100))  # 85
+    rem = 100 - num  # 15
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    base = d.select("doc_id", F.md5("text").alias("h"))
+    sc = base.agg(
+        F.max("doc_id").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    e0 = (
+        base.crossJoin(sc)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.conv(F.substring("h", off, 6), 16, 10).cast(
+                                "long"
+                            ),
+                            F.col("mx") + 1,
+                        )
+                        for off in (1, 7, 13)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+    edges = e0.join(
+        base.select(F.col("doc_id").alias("dst")), "dst", "leftsemi"
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = base.select("doc_id").crossJoin(sc).select(
+        "doc_id", F.expr(f"{scale} div n").alias("r")
+    )
+    for _ in range(k):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(
+                ranks.select(F.col("doc_id").alias("src"), "r"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).alias("c"))
+        )
+        dangling = (
+            ranks.join(
+                outdeg.select(F.col("src").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+            .agg(
+                F.coalesce(F.sum("r"), F.lit(0).cast("long")).alias("dm")
+            )
+        )
+        ranks = (
+            base.select("doc_id")
+            .crossJoin(sc)
+            .join(
+                contrib.select(F.col("dst").alias("doc_id"), "c"),
+                "doc_id",
+                "left",
+            )
+            .crossJoin(dangling)
+            .select(
+                "doc_id",
+                F.expr(
+                    f"({rem} * {scale}) div (100 * n)"
+                    f" + ({num} * (coalesce(c, 0) + (dm div n))) div 100"
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.crossJoin(sc)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("r").cast("double") * F.col("n") / F.lit(float(scale)),
+                4,
+            ).alias("pagerank"),
+        )
+    )
+
+
+def _pagerank_oracle_sql(k: int = 3, damping: float = 0.85) -> str:
+    """Generated DuckDB twin of q_link_pagerank: the same content-digest
+    edge construction + k chained fixed-point iteration CTEs. Integer
+    floor division (``//``) mirrors Spark's ``div`` exactly on the
+    all-positive mass units; DuckDB's INT128 sums are cast back
+    ::BIGINT (the memory-file pitfall)."""
+    scale = 10 ** 15
+    num = int(round(damping * 100))
+    rem = 100 - num
+    sql = r"""WITH base AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE n_chars > 0),
+sc AS (SELECT max(doc_id) AS mx, count(*)::BIGINT AS n FROM base),
+e0 AS (
+  SELECT DISTINCT doc_id AS src,
+         ('0x' || substr(h, off, 6))::BIGINT % (sc.mx + 1) AS dst
+  FROM base CROSS JOIN sc, (SELECT unnest([1, 7, 13]) AS off)
+  WHERE ('0x' || substr(h, off, 6))::BIGINT % (sc.mx + 1) <> doc_id),
+edges AS (
+  SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM base)),
+outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+"""
+    sql += (
+        f"r0 AS (SELECT doc_id, {scale} // sc.n AS r"
+        " FROM base CROSS JOIN sc)"
+    )
+    for i in range(k):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst, sum(r.r // o.deg)::BIGINT AS c
+  FROM edges e JOIN outdeg o USING (src)
+       JOIN r{i} r ON r.doc_id = e.src
+  GROUP BY e.dst),
+dm{i} AS (
+  SELECT coalesce(sum(r.r), 0)::BIGINT AS dm
+  FROM r{i} r WHERE r.doc_id NOT IN (SELECT src FROM outdeg)),
+r{i + 1} AS (
+  SELECT b.doc_id,
+         ({rem} * {scale}) // (100 * sc.n)
+           + ({num} * (coalesce(c.c, 0) + (dm.dm // sc.n))) // 100 AS r
+  FROM base b CROSS JOIN sc
+       LEFT JOIN c{i} c ON c.dst = b.doc_id
+       CROSS JOIN dm{i} dm)"""
+    sql += f"""
+SELECT r.doc_id, round(r.r::DOUBLE * sc.n / {float(scale)!r}, 4) AS pagerank
+FROM r{k} r CROSS JOIN sc
+"""
+    return sql
+
+
+_ORACLE_PAGERANK = _pagerank_oracle_sql()
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -4235,6 +4403,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "simhash_neardup": (q_simhash_neardup, _ORACLE_SIMHASH_NEARDUP),
     "substring_dedup": (q_substring_dedup, _ORACLE_SUBSTRING_DEDUP),
     "tfidf_topk": (q_tfidf_topk, _ORACLE_TFIDF),
+    "link_pagerank": (q_link_pagerank, _ORACLE_PAGERANK),
 }
 
 

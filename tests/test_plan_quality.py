@@ -510,3 +510,23 @@ def test_bpe_encode_corpus_join_no_word_shuffle_agg_partials(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_link_pagerank_node_keyed_hash_joins_scalar_crosses_only(spark):
+    """link_pagerank's 100TB claim: every corpus-sized join is hash-keyed
+    on node ids; the only nested-loop joins are the 1-row scalar
+    crossJoins (the sc/dangling-mass frames — the bounded-scalar
+    contract); no cartesian product, no range partitioning / global
+    sort, and the per-iteration contribution aggregation keeps map-side
+    partials."""
+    import re
+
+    from html_sanitizer_spark.queries import q_link_pagerank
+
+    plan = _plan(q_link_pagerank(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
+    assert plan.count("HashAggregate") >= 2, plan
+    # the dangling-mass anti-join must be present each iteration
+    assert plan.count("LeftAnti") >= 3, plan
