@@ -1,0 +1,115 @@
+"""Ground-truth semantics of the late-r06 operators (simhash_neardup,
+substring_dedup, tfidf_topk, bpe_encode, link_pagerank) — properties the
+DuckDB parity gate cannot see because both engines could be wrong the
+same way: pair orientation, threshold binding against designed inputs,
+rank-sequence shape, and conservation laws."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from html_sanitizer_spark.queries import (
+    q_bpe_encode,
+    q_link_pagerank,
+    q_simhash_neardup,
+    q_substring_dedup,
+    q_tfidf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_neardup_pair_contract(spark):
+    rows = q_simhash_neardup(spark, SF).collect()
+    assert rows, "designed near-dups must produce pairs"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 3
+    # the corpus contains exact-duplicate texts whose augmented forms
+    # still coincide (same marker parity) -> at least one Hamming-0 pair,
+    # and the marker injection must also produce NEAR (nonzero) pairs
+    hams = {r.hamming for r in rows}
+    assert 0 in hams
+    assert hams - {0}, "marker injection should yield Hamming 1-3 pairs"
+
+
+def test_substring_dedup_prologue_binds(spark):
+    out = q_substring_dedup(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length(F.trim("text")).alias("lt")
+    )
+    j = out.join(docs, "doc_id").collect()
+    assert all(r.lt > 0 for r in j)
+    # every prologue-carrying doc shares its pure-prologue window with
+    # every other one (>= 2 such docs exist at any sf), so n_dup >= 1
+    pro = [r for r in j if r.doc_id % 5 < 2]
+    assert len(pro) >= 2
+    assert all(r.n_dup >= 1 for r in pro)
+    # fraction arithmetic: 0 <= n_dup <= n_windows, flag iff frac > 0.3
+    for r in j:
+        assert 0 <= r.n_dup <= r.n_windows
+        assert r.flagged == (1 if r.dup_frac > 0.3 else 0)
+    # partial duplication must exist (the prologue case), not just 0/1
+    assert any(0 < r.dup_frac < 1 for r in j)
+
+
+def test_tfidf_topk_rank_shape(spark):
+    rows = q_tfidf_topk(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        ranks = sorted(r.term_rank for r in doc_rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+        # scores weakly decrease in rank order at the ranking grain;
+        # output is at the coarser 4-decimal grain so allow its half-ulp
+        ordered = sorted(doc_rows, key=lambda r: r.term_rank)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.tfidf >= b.tfidf - 5e-5, (a, b)
+        assert all(r.tfidf > 0 for r in doc_rows)
+
+
+def test_bpe_encode_compression_bounds(spark):
+    rows = q_bpe_encode(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # merges can only shrink the character-split representation, and
+        # every word is >= 2 chars, so subwords/word lies in (1, max_len]
+        assert r.n_words >= 1
+        assert r.n_subwords >= r.n_words  # a word is >= 1 subword
+        assert r.avg_subwords > 1.0
+    # the 5 learned merges must actually compress somewhere: raw
+    # char-split average word length is > avg_subwords on this corpus
+    avg = sum(r.n_subwords for r in rows) / sum(r.n_words for r in rows)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda w: F.length(w) >= 2,
+                )
+            ).alias("w")
+        )
+        .agg(F.avg(F.length("w")))
+        .collect()[0][0]
+    )
+    assert avg < raw, (avg, raw)
+
+
+def test_link_pagerank_mass_conservation_and_floor(spark):
+    rows = q_link_pagerank(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.pagerank for r in rows)
+    # fixed-point floor division leaks strictly less than a few units per
+    # node per iteration at scale 1e15 -> total normalized mass within
+    # 0.1% of n
+    assert abs(total - n) / n < 1e-3, total
+    # every node keeps at least the teleport floor (1-d)/n -> 0.15
+    # normalized (minus fixed-point/rounding grain)
+    assert all(r.pagerank >= 0.1499 for r in rows)
+    # the digest graph is non-regular, so ranks must actually spread
+    assert max(r.pagerank for r in rows) > 1.2
