@@ -113,3 +113,41 @@ def test_link_pagerank_mass_conservation_and_floor(spark):
     assert all(r.pagerank >= 0.1499 for r in rows)
     # the digest graph is non-regular, so ranks must actually spread
     assert max(r.pagerank for r in rows) > 1.2
+
+
+def test_link_pagerank_is_run_deterministic(spark):
+    """Fixed-point BIGINT iteration must make PageRank bit-identical
+    across independent plan builds (different partial-aggregation orders
+    are the whole reason the op avoids doubles): two fresh builds must
+    agree exactly, including the final rounded output."""
+    a = {r.doc_id: r.pagerank for r in q_link_pagerank(spark, SF).collect()}
+    b = {r.doc_id: r.pagerank for r in q_link_pagerank(spark, SF).collect()}
+    assert a == b
+
+
+def test_substring_dedup_survives_uniform_hot_digest(spark):
+    """Skew posture check: a corpus where EVERY doc is the same text puts
+    the entire window stream under one digest (the worst hot key). The
+    operator must still answer correctly — every window duplicated,
+    fraction 1.0, all flagged — and do so through the same digest-keyed
+    join (AQE handles the residual skew at scale; correctness must not
+    depend on key spread)."""
+    import pyspark.sql.functions as F
+    from html_sanitizer_spark.queries import q_substring_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")
+         for i in range(200)],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        out = q_substring_dedup(spark, td).collect()
+    assert len(out) == 200
+    for r in out:
+        assert r.n_dup == r.n_windows
+        assert r.dup_frac == 1.0
+        assert r.flagged == 1
