@@ -4335,6 +4335,217 @@ FROM r{k} r CROSS JOIN sc
 _ORACLE_PAGERANK = _pagerank_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
+# public method): k-means over the embedding space, then prune near-identical
+# vectors WITHIN each cluster, so the pairwise stage is cluster-local and
+# never corpus-quadratic. The reference has no analog (it is an HTML
+# sanitizer); this is part of the §2.11 training-data surface.
+# ---------------------------------------------------------------------------
+
+_SEM_DIM = 64
+_SEM_K = 8
+_SEM_ITERS = 2
+_SEM_SCALE = 1_000_000
+_SEM_OFFSET = 4_000_000  # keeps every quantized coordinate positive
+_SEM_SEED_MOD = 61
+_SEM_TAU = 0.35
+
+
+def _sem_quant(col):
+    """array<float> -> array<bigint>: floor(x * 1e6) + OFFSET. Floor on a
+    double is bit-exact in every engine, and the offset makes all
+    coordinates positive so integer floor-division (centroid means) and
+    truncating division agree — the same all-positive fixed-point
+    convention as q_link_pagerank's mass units."""
+    return F.transform(
+        col,
+        lambda x: (
+            F.floor(x.cast("double") * F.lit(float(_SEM_SCALE)))
+            + F.lit(_SEM_OFFSET)
+        ).cast("long"),
+    )
+
+
+def _sem_assign(qcol, cents):
+    """Map-side argmin over centroid LITERALS (the ivf_topk pattern:
+    K is tiny, so assignment is a zero-shuffle expression, not a join).
+    Distances are exact BIGINT sums of squared coordinate deltas;
+    ties break toward the smallest cid via struct ordering."""
+    alts = []
+    for cid, cv in cents:
+        lit = F.array(*[F.lit(int(v)) for v in cv])
+        dist = F.aggregate(
+            F.zip_with(qcol, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        alts.append(
+            F.struct(dist.alias("dist"), F.lit(int(cid)).cast("int").alias("cid"))
+        )
+    return F.array_min(F.array(*alts))["cid"]
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: fixed-point Lloyd k-means
+    (K=8, 2 iterations) then a within-cluster cosine prune — a vector is
+    removed when a SMALLER-id vector in the same cluster has cosine >=
+    0.35 with it (keep-first, the dedup_apply convention). Output is one
+    row per vector: cluster id, cluster size, removal flag.
+
+    Engine-exact parity: seeds are a deterministic corpus sample (every
+    61st vec_id, first K); coordinates are quantized to positive BIGINTs
+    (floor(x*1e6)+4e6), so assignment distances are exact integer sums
+    and the centroid update is an exact integer floor-division mean —
+    bit-identical across engines, where a floating Lloyd's would flip
+    assignments at rounding boundaries. The prune cosine reuses the
+    double-path unit/dot idiom proven by embedding_neardup at the
+    4-decimal grain.
+
+    100 TB shape: quantization and assignment are map-side expressions
+    against K centroid literals (zero shuffle — the ivf_topk pattern);
+    each Lloyd update is ONE groupBy(K) with 64 map-side partial sums
+    plus a <=K-row driver collect (the bounded-scalar contract, same as
+    the IVF centroid set); the prune self-join is cluster-blocked. At
+    extreme cluster sizes two guards apply: sum(qv_i) nears BIGINT range
+    around 10^12 members/cluster (sum offset-CENTERED deltas or DECIMAL
+    partials instead), and a hot cluster makes the prune quadratic —
+    production re-clusters oversize cells (K grows with the corpus)
+    exactly as SemDeDup prescribes, rather than pairing them directly."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        _sem_quant(F.col("embedding")).alias("qv"),
+        _unit(F.col("embedding")).alias("unit"),
+    )
+    seed_rows = (
+        e.filter(F.col("vec_id") % _SEM_SEED_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_SEM_K)
+        .select("qv")
+        .collect()
+    )
+    cents = [(i, [int(v) for v in r["qv"]]) for i, r in enumerate(seed_rows)]
+    for _ in range(_SEM_ITERS):
+        assigned = e.select("qv", _sem_assign(F.col("qv"), cents).alias("cid"))
+        sums = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("qv"), i + 1)).alias(f"s{i}")
+                for i in range(_SEM_DIM)
+            ],
+        )
+        means = {
+            int(r["cid"]): [
+                int(r[f"s{i}"]) // int(r["n"]) for i in range(_SEM_DIM)
+            ]
+            for r in sums.collect()
+        }
+        # empty clusters keep their previous centroid (deterministic)
+        cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
+    final = e.select(
+        "vec_id", "unit", _sem_assign(F.col("qv"), cents).alias("cluster")
+    )
+    sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_cluster"))
+    a = final.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("va"),
+        F.col("unit").alias("ua"),
+    )
+    b = final.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("vb"),
+        F.col("unit").alias("ub"),
+    )
+    removed = (
+        a.join(b, "cl")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(_dot(F.col("ua"), F.col("ub")), 4) >= _SEM_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    return (
+        final.join(F.broadcast(sizes), "cluster")
+        .join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "n_cluster",
+            F.coalesce(F.col("rm"), F.lit(0)).cast("int").alias("is_removed"),
+        )
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """Generated DuckDB twin of q_semantic_dedup: the same quantization,
+    seed pick, and chained assign/update CTEs (one pair per Lloyd
+    iteration, the _pagerank_oracle_sql pattern). Integer sums are cast
+    back ::BIGINT from DuckDB's INT128 (the memory-file pitfall);
+    all-positive operands make ``//`` identical to Spark's truncating
+    division."""
+    dim, k, tau = _SEM_DIM, _SEM_K, _SEM_TAU
+    unit = (
+        "list_transform(list_transform(embedding, x -> x::DOUBLE),"
+        " x -> x / sqrt(list_sum(list_transform(embedding,"
+        " y -> y::DOUBLE * y::DOUBLE))))"
+    )
+    sql = f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> floor(x::DOUBLE * {float(_SEM_SCALE)!r})::BIGINT
+                + {_SEM_OFFSET}) AS qv,
+         {unit} AS unit
+  FROM embeddings),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, qv AS cv
+  FROM (SELECT vec_id, qv FROM e WHERE vec_id % {_SEM_SEED_MOD} = 0
+        ORDER BY vec_id LIMIT {k}))"""
+    for it in range(_SEM_ITERS):
+        sums = ", ".join(f"sum(qv[{i + 1}])" for i in range(dim))
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT e.vec_id, e.qv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) ASC,
+             c.cid ASC) AS rn
+    FROM e CROSS JOIN c{it} c) WHERE rn = 1),
+m{it} AS (
+  SELECT cid, count(*)::BIGINT AS n, [{sums}] AS sv
+  FROM a{it} GROUP BY cid),
+c{it + 1} AS (
+  SELECT c.cid,
+         CASE WHEN m.cid IS NULL THEN c.cv
+              ELSE list_transform(m.sv, s -> (s // m.n)::BIGINT) END AS cv
+  FROM c{it} c LEFT JOIN m{it} m USING (cid))"""
+    sql += f""",
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) ASC,
+             c.cid ASC) AS rn
+    FROM e CROSS JOIN c{_SEM_ITERS} c) WHERE rn = 1),
+sizes AS (SELECT cid, count(*)::BIGINT AS n_cluster FROM af GROUP BY cid),
+eu AS (SELECT a.vec_id, a.cid, e.unit FROM af a JOIN e USING (vec_id)),
+rm AS (
+  SELECT DISTINCT b.vec_id
+  FROM eu a JOIN eu b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(range(1, {dim + 1}),
+          i -> a.unit[i] * b.unit[i])), 4) >= {tau})
+SELECT a.vec_id, a.cid AS cluster, s.n_cluster,
+       (CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)::INT AS is_removed
+FROM af a JOIN sizes s ON s.cid = a.cid
+LEFT JOIN rm r ON r.vec_id = a.vec_id
+"""
+    return sql
+
+
+_ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -4404,6 +4615,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "substring_dedup": (q_substring_dedup, _ORACLE_SUBSTRING_DEDUP),
     "tfidf_topk": (q_tfidf_topk, _ORACLE_TFIDF),
     "link_pagerank": (q_link_pagerank, _ORACLE_PAGERANK),
+    "semantic_dedup": (q_semantic_dedup, _ORACLE_SEMANTIC_DEDUP),
 }
 
 

@@ -151,3 +151,74 @@ def test_substring_dedup_survives_uniform_hot_digest(spark):
         assert r.n_dup == r.n_windows
         assert r.dup_frac == 1.0
         assert r.flagged == 1
+
+
+def test_semantic_dedup_matches_independent_python(spark):
+    """Third-implementation check for semantic_dedup: rebuild the whole
+    quantize -> fixed-point Lloyd -> within-cluster keep-first prune in
+    pure Python (exact ints for geometry, left-to-right double sums for
+    the cosine, Spark's HALF_UP rounding) and require label-for-label and
+    flag-for-flag equality. The DuckDB parity gate can't see a bug both
+    SQL engines share; an arbitrary-precision-int reimplementation can."""
+    import math
+
+    from html_sanitizer_spark.queries import q_semantic_dedup
+
+    out = {r.vec_id: r for r in q_semantic_dedup(spark, SF).collect()}
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    assert set(out) == set(emb)
+
+    qv = {
+        v: [math.floor(x * 1e6) + 4_000_000 for x in arr]
+        for v, arr in emb.items()
+    }
+    cents = [qv[v][:] for v in sorted(v for v in qv if v % 61 == 0)[:8]]
+
+    def assign(cv):
+        return {
+            v: min(
+                (sum((a - b) * (a - b) for a, b in zip(vec, c)), i)
+                for i, c in enumerate(cv)
+            )[1]
+            for v, vec in qv.items()
+        }
+
+    for _ in range(2):
+        lab = assign(cents)
+        for i in range(8):
+            mem = [qv[v] for v in qv if lab[v] == i]
+            if mem:
+                cents[i] = [sum(col) // len(mem) for col in zip(*mem)]
+    lab = assign(cents)
+    assert {v: r.cluster for v, r in out.items()} == lab
+
+    sizes = {}
+    for c in lab.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert all(r.n_cluster == sizes[lab[v]] for v, r in out.items())
+
+    def unit(arr):
+        n = math.sqrt(sum(x * x for x in arr))
+        return [x / n for x in arr]
+
+    un = {v: unit(arr) for v, arr in emb.items()}
+
+    def cos4(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        # Spark F.round = HALF_UP (only positive values reach the filter)
+        return math.floor(d * 1e4 + 0.5) / 1e4 if d > 0 else d
+
+    for v, r in out.items():
+        dup = any(
+            w < v and lab[w] == lab[v] and cos4(un[w], un[v]) >= 0.35
+            for w in qv
+        )
+        assert r.is_removed == int(dup), (v, r)
+    # keep-first corollary: each cluster's smallest id always survives
+    firsts = {min(v for v in lab if lab[v] == c) for c in set(lab.values())}
+    assert all(out[v].is_removed == 0 for v in firsts)

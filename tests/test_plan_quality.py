@@ -530,3 +530,28 @@ def test_link_pagerank_node_keyed_hash_joins_scalar_crosses_only(spark):
     assert plan.count("HashAggregate") >= 2, plan
     # the dangling-mass anti-join must be present each iteration
     assert plan.count("LeftAnti") >= 3, plan
+
+
+def test_semantic_dedup_map_side_assignment_hash_joins_only(spark):
+    """semantic_dedup's 100TB claim: cluster assignment is a map-side
+    argmin over K centroid LITERALS (zero shuffle — no join against a
+    centroid frame anywhere), so the plan has no cartesian or
+    nested-loop join at all; the prune self-join and the size/removal
+    joins are hash-keyed (cluster / vec_id); no range partitioning or
+    global sort; the Lloyd-update aggregation ran EAGERLY during plan
+    construction (bounded driver collect), so the returned plan only
+    contains the final assign+prune stages with map-side partials."""
+    import re
+
+    from html_sanitizer_spark.queries import q_semantic_dedup
+
+    plan = _plan(q_semantic_dedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
+    assert plan.count("HashAggregate") >= 2, plan
+    # centroids must be literals, not a joined frame: the only joins are
+    # the cluster-blocked prune, the broadcast size join, and the
+    # left-outer removal join
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 3, plan
