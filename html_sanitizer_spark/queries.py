@@ -4546,6 +4546,130 @@ LEFT JOIN rm r ON r.vec_id = a.vec_id
 _ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 heuristic filter battery (Raffel et al. 2020 §2.2, public
+    method): line-level rules — keep only lines that end in terminal
+    punctuation, contain no 'javascript', and have >= 5 words — plus
+    page-level rules — drop pages containing 'lorem ipsum' or '{', or
+    with fewer than 3 surviving sentences (one kept line = one sentence
+    here; every kept line ends with its terminal mark by construction).
+
+    The synthetic corpus is a single unpunctuated line per doc, so the
+    page structure is CONSTRUCTED deterministically (the line_dedup
+    precedent for making a stage bind): the word stream splits into
+    8-word lines; every 3rd line gets no terminal '.', doc_id%11 docs
+    carry 'javascript' on line 0, doc_id%13 docs append a lorem-ipsum
+    line, doc_id%17 docs append a '{' line — every rule fires on a known
+    doc subset while the <5-word rule binds organically on short tails.
+
+    100 TB shape: the whole battery is ONE map-side projection — split,
+    a transform over a line-index sequence (slice + decoration in the
+    same lambda, so no index-lambda engine divergence), a filter, and
+    scalar flags; zero joins, zero shuffles, nothing corpus-sized leaves
+    the scan task. The filter composes in front of dedup exactly where
+    C4 runs it (cheap rules first, pair-generating stages after)."""
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    base = d.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
+    n_lines0 = F.expr("(size(w) + 7) div 8")
+    dec = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines0 - 1),
+        lambda j: F.concat(
+            F.array_join(F.slice(F.col("w"), (j * 8 + 1).cast("int"), 8), " "),
+            F.when(
+                (F.col("doc_id") % 11 == 0) & (j == 0),
+                F.lit(" javascript required"),
+            ).otherwise(F.lit("")),
+            F.when(j % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    all_lines = F.concat(
+        dec,
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet.")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.array(F.lit("var config = { a: 1 };")),
+        ).otherwise(empty),
+    )
+    kept = F.filter(
+        all_lines,
+        lambda ln: (
+            ln.endswith(".") | ln.endswith("!") | ln.endswith("?")
+        )
+        & ~ln.contains("javascript")
+        & (F.size(F.split(ln, " ")) >= 5),
+    )
+    page = F.array_join(all_lines, "\n")
+    has_lorem = F.when(page.contains("lorem ipsum"), 1).otherwise(0)
+    has_brace = F.when(page.contains("{"), 1).otherwise(0)
+    n_kept = F.size(kept).cast("long")
+    n_kept_words = F.aggregate(
+        kept,
+        F.lit(0).cast("long"),
+        lambda acc, ln: acc + F.size(F.split(ln, " ")),
+    )
+    keep = (
+        (n_kept >= 3) & (has_lorem == 0) & (has_brace == 0)
+    ).cast("int")
+    return base.select(
+        "doc_id",
+        F.size(all_lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        n_kept_words.alias("n_kept_words"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        keep.alias("keep"),
+    )
+
+
+_ORACLE_C4_FILTERS = r"""
+WITH base AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w
+  FROM documents WHERE len(trim(text)) > 0),
+pages AS (
+  SELECT doc_id,
+         list_concat(list_concat(
+           list_transform(range(0, (len(w) + 7) // 8),
+             j -> array_to_string(list_slice(w, j*8 + 1, j*8 + 8), ' ')
+                  || CASE WHEN doc_id % 11 = 0 AND j = 0
+                          THEN ' javascript required' ELSE '' END
+                  || CASE WHEN j % 3 <> 2 THEN '.' ELSE '' END),
+           CASE WHEN doc_id % 13 = 0
+                THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+           CASE WHEN doc_id % 17 = 0
+                THEN ['var config = { a: 1 };'] ELSE [] END) AS all_lines
+  FROM base),
+scored AS (
+  SELECT doc_id, all_lines,
+         list_filter(all_lines,
+           ln -> (ends_with(ln, '.') OR ends_with(ln, '!')
+                  OR ends_with(ln, '?'))
+                 AND NOT contains(ln, 'javascript')
+                 AND len(string_split(ln, ' ')) >= 5) AS kept,
+         CASE WHEN contains(array_to_string(all_lines, chr(10)),
+                            'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+         CASE WHEN contains(array_to_string(all_lines, chr(10)),
+                            '{') THEN 1 ELSE 0 END AS has_brace
+  FROM pages)
+SELECT doc_id,
+       len(all_lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       coalesce(list_sum(list_transform(kept,
+         ln -> len(string_split(ln, ' ')))), 0)::BIGINT AS n_kept_words,
+       has_lorem::INT AS has_lorem,
+       has_brace::INT AS has_brace,
+       (CASE WHEN len(kept) >= 3 AND has_lorem = 0 AND has_brace = 0
+             THEN 1 ELSE 0 END)::INT AS keep
+FROM scored
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -4616,6 +4740,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "tfidf_topk": (q_tfidf_topk, _ORACLE_TFIDF),
     "link_pagerank": (q_link_pagerank, _ORACLE_PAGERANK),
     "semantic_dedup": (q_semantic_dedup, _ORACLE_SEMANTIC_DEDUP),
+    "c4_filters": (q_c4_filters, _ORACLE_C4_FILTERS),
 }
 
 

@@ -222,3 +222,66 @@ def test_semantic_dedup_matches_independent_python(spark):
     # keep-first corollary: each cluster's smallest id always survives
     firsts = {min(v for v in lab if lab[v] == c) for c in set(lab.values())}
     assert all(out[v].is_removed == 0 for v in firsts)
+
+
+def test_c4_filters_matches_independent_python(spark):
+    """Third-implementation check for c4_filters: rebuild the page
+    construction + the full C4 rule battery in plain Python string ops
+    and require column-for-column equality, then assert each designed
+    rule actually binds on its doc_id subset."""
+    from html_sanitizer_spark.queries import q_c4_filters
+
+    out = {r.doc_id: r for r in q_c4_filters(spark, SF).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+        if r.text is not None and r.text.strip()
+    }
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        w = text.strip().split(" ")
+        lines = []
+        for j in range((len(w) + 7) // 8):
+            ln = " ".join(w[j * 8 : j * 8 + 8])
+            if doc_id % 11 == 0 and j == 0:
+                ln += " javascript required"
+            if j % 3 != 2:
+                ln += "."
+            lines.append(ln)
+        if doc_id % 13 == 0:
+            lines.append("lorem ipsum dolor sit amet.")
+        if doc_id % 17 == 0:
+            lines.append("var config = { a: 1 };")
+        kept = [
+            ln
+            for ln in lines
+            if ln.endswith((".", "!", "?"))
+            and "javascript" not in ln
+            and len(ln.split(" ")) >= 5
+        ]
+        page = "\n".join(lines)
+        has_lorem = int("lorem ipsum" in page)
+        has_brace = int("{" in page)
+        r = out[doc_id]
+        assert (
+            r.n_lines,
+            r.n_kept,
+            r.n_kept_words,
+            r.has_lorem,
+            r.has_brace,
+            r.keep,
+        ) == (
+            len(lines),
+            len(kept),
+            sum(len(ln.split(" ")) for ln in kept),
+            has_lorem,
+            has_brace,
+            int(len(kept) >= 3 and not has_lorem and not has_brace),
+        ), doc_id
+    # each designed rule binds on its subset
+    assert all(out[v].keep == 0 for v in out if v % 13 == 0)
+    assert all(out[v].keep == 0 for v in out if v % 17 == 0)
+    assert any(out[v].has_lorem for v in out)
+    assert any(out[v].has_brace for v in out)
+    # the javascript rule costs doc%11 docs their first line
+    assert any(v % 11 == 0 and out[v].n_kept < out[v].n_lines for v in out)

@@ -555,3 +555,20 @@ def test_semantic_dedup_map_side_assignment_hash_joins_only(spark):
     # the cluster-blocked prune, the broadcast size join, and the
     # left-outer removal join
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 3, plan
+
+
+def test_c4_filters_single_map_no_python_no_keyed_exchange(spark):
+    """c4_filters' 100TB claim: the whole battery is ONE map-side
+    projection — no joins, no aggregation shuffle, no Python evaluation.
+    The only allowed exchange is _spread's round-robin fan-out of the
+    single-split test parquet (skipped on real multi-split inputs); any
+    hash/range partitioning would mean a stage the operator must not
+    have."""
+    from html_sanitizer_spark.queries import q_c4_filters
+
+    plan = _plan(q_c4_filters(spark, SF))
+    assert "Python" not in plan, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
