@@ -4670,6 +4670,76 @@ FROM scored
 """
 
 
+def q_host_cap_sample(spark, sf_dir, cap: int = 20, salts: int = 8):
+    """Per-host document cap (the domain-balance stage every web-crawl
+    corpus runs so no single domain dominates training data — the
+    C4/CCNet per-domain throttling practice, public method): keep at
+    most ``cap`` docs per host, chosen by a deterministic content-free
+    draw (md5(doc_id) order — reproducible "random", no text bias).
+    Hosts reuse the url_host_rollup synthesis, plus a designed HOT host:
+    doc_id%3 docs all land on megahost.example.org (3 is coprime with the 20-source cycle, so every ordinary host keeps ~2/3 of its docs and stays under-cap while the megahost goes far over), so the cap binds
+    hard on one skewed key while ordinary hosts pass through under-cap —
+    both branches exercised at every sf.
+
+    100 TB shape — the skew-proof two-phase exact top-K: a naive
+    row_number over host puts a 10^9-doc megahost on ONE task; instead
+    rows first take a salted local top-``cap`` per (host, salt) — the
+    hot host's sort spreads over ``salts`` tasks and each emits at most
+    ``cap`` rows — then the global top-``cap`` window runs over at most
+    salts*cap survivors per host. Total sorted rows per hot-host task
+    drop from n_host to n_host/salts; the second window's input is
+    bounded regardless of skew. The per-host count join is
+    host-vocabulary-sized (broadcast). Exactness: the global top-K by
+    (h, doc_id) is always contained in the union of per-salt top-Ks."""
+    d = _spread(spark, _docs(spark, sf_dir))
+    host = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("megahost.example.org")
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.org")))
+    base = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    counts = base.groupBy("host").agg(F.count(F.lit(1)).alias("n_host"))
+    local = (
+        base.withColumn("s", F.pmod(F.xxhash64("doc_id"), F.lit(salts)))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                Window.partitionBy("host", "s").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("lr") <= cap)
+    )
+    kept = local.withColumn(
+        "host_rank",
+        F.row_number().over(Window.partitionBy("host").orderBy("h", "doc_id")),
+    ).filter(F.col("host_rank") <= cap)
+    return kept.join(F.broadcast(counts), "host").select(
+        "doc_id",
+        "host",
+        F.col("host_rank").cast("long").alias("host_rank"),
+        "n_host",
+    )
+
+
+_ORACLE_HOST_CAP = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'megahost.example.org'
+              ELSE source || '.example.org' END AS host,
+         md5(doc_id::VARCHAR) AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY h, doc_id) AS host_rank,
+         count(*) OVER (PARTITION BY host) AS n_host
+  FROM d)
+SELECT doc_id, host, host_rank::BIGINT AS host_rank, n_host::BIGINT AS n_host
+FROM r WHERE host_rank <= 20
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -4741,6 +4811,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "link_pagerank": (q_link_pagerank, _ORACLE_PAGERANK),
     "semantic_dedup": (q_semantic_dedup, _ORACLE_SEMANTIC_DEDUP),
     "c4_filters": (q_c4_filters, _ORACLE_C4_FILTERS),
+    "host_cap_sample": (q_host_cap_sample, _ORACLE_HOST_CAP),
 }
 
 

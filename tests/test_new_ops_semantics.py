@@ -285,3 +285,40 @@ def test_c4_filters_matches_independent_python(spark):
     assert any(out[v].has_brace for v in out)
     # the javascript rule costs doc%11 docs their first line
     assert any(v % 11 == 0 and out[v].n_kept < out[v].n_lines for v in out)
+
+
+def test_host_cap_sample_matches_independent_python(spark):
+    """Third-implementation check for host_cap_sample: recompute the
+    deterministic per-host draw in plain Python (hashlib md5 order) and
+    require the kept sets, ranks, and host sizes to match exactly; then
+    assert the skew design binds (megahost capped, under-cap hosts pass
+    through whole)."""
+    import hashlib
+
+    from html_sanitizer_spark.queries import q_host_cap_sample
+
+    rows = q_host_cap_sample(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    byhost: dict[str, list] = {}
+    for r in docs:
+        host = (
+            "megahost.example.org"
+            if r.doc_id % 3 == 0
+            else f"{r.source}.example.org"
+        )
+        byhost.setdefault(host, []).append(r.doc_id)
+    expect = {}
+    for host, ids in byhost.items():
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        for rank, i in enumerate(order[:20], start=1):
+            expect[i] = (host, rank, len(ids))
+    got = {r.doc_id: (r.host, r.host_rank, r.n_host) for r in rows}
+    assert got == expect
+    mega = [r for r in rows if r.host == "megahost.example.org"]
+    assert len(mega) == 20 and mega[0].n_host > 100  # cap bound the hot host
+    small = [r for r in rows if r.n_host <= 20]
+    assert small, "under-cap hosts must exist"
+    for host in {r.host for r in small}:
+        assert len([r for r in rows if r.host == host]) == len(byhost[host])

@@ -572,3 +572,22 @@ def test_c4_filters_single_map_no_python_no_keyed_exchange(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_host_cap_sample_salted_two_phase_topk(spark):
+    """host_cap_sample's 100TB claim: the hot-host sort never lands on
+    one task — the plan must contain BOTH window stages (the salted
+    (host, s) local top-K exchange and the bounded host-global one), a
+    broadcast for the host-count join, and no range partitioning /
+    global sort / cartesian fallback."""
+    import re
+
+    from html_sanitizer_spark.queries import q_host_cap_sample
+
+    plan = _plan(q_host_cap_sample(spark, SF))
+    assert re.search(r"hashpartitioning\(host#\d+, s#", plan), plan
+    assert re.search(r"hashpartitioning\(host#\d+, \d+\)", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert not re.search(r"Sort \[.*?\], true", plan), plan
