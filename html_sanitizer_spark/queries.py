@@ -4476,8 +4476,9 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
-def _semantic_dedup_oracle_sql() -> str:
-    """Generated DuckDB twin of q_semantic_dedup: the same quantization,
+def _semantic_dedup_ctes() -> str:
+    """Generated CTE body shared by the standalone semantic_dedup oracle
+    and the composed curation_pipeline oracle: the same quantization,
     seed pick, and chained assign/update CTEs (one pair per Lloyd
     iteration, the _pagerank_oracle_sql pattern). Integer sums are cast
     back ::BIGINT from DuckDB's INT128 (the memory-file pitfall);
@@ -4489,7 +4490,7 @@ def _semantic_dedup_oracle_sql() -> str:
         " x -> x / sqrt(list_sum(list_transform(embedding,"
         " y -> y::DOUBLE * y::DOUBLE))))"
     )
-    sql = f"""WITH e AS (
+    sql = f"""e AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> floor(x::DOUBLE * {float(_SEM_SCALE)!r})::BIGINT
@@ -4534,16 +4535,16 @@ rm AS (
   SELECT DISTINCT b.vec_id
   FROM eu a JOIN eu b ON a.cid = b.cid AND a.vec_id < b.vec_id
   WHERE round(list_sum(list_transform(range(1, {dim + 1}),
-          i -> a.unit[i] * b.unit[i])), 4) >= {tau})
+          i -> a.unit[i] * b.unit[i])), 4) >= {tau})"""
+    return sql
+
+
+_ORACLE_SEMANTIC_DEDUP = f"WITH {_semantic_dedup_ctes()}" + r"""
 SELECT a.vec_id, a.cid AS cluster, s.n_cluster,
        (CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)::INT AS is_removed
 FROM af a JOIN sizes s ON s.cid = a.cid
 LEFT JOIN rm r ON r.vec_id = a.vec_id
 """
-    return sql
-
-
-_ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
 
 
 def q_c4_filters(spark, sf_dir):
@@ -4628,8 +4629,9 @@ def q_c4_filters(spark, sf_dir):
     )
 
 
-_ORACLE_C4_FILTERS = r"""
-WITH base AS (
+# CTE body shared by the standalone c4_filters oracle and the composed
+# curation_pipeline oracle (single-sourced so the two cannot drift)
+_C4_CTES = r"""base AS (
   SELECT doc_id, string_split(trim(text), ' ') AS w
   FROM documents WHERE len(trim(text)) > 0),
 pages AS (
@@ -4656,7 +4658,9 @@ scored AS (
                             'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
          CASE WHEN contains(array_to_string(all_lines, chr(10)),
                             '{') THEN 1 ELSE 0 END AS has_brace
-  FROM pages)
+  FROM pages)"""
+
+_ORACLE_C4_FILTERS = f"WITH {_C4_CTES}" + r"""
 SELECT doc_id,
        len(all_lines)::BIGINT AS n_lines,
        len(kept)::BIGINT AS n_kept,
@@ -4668,6 +4672,51 @@ SELECT doc_id,
              THEN 1 ELSE 0 END)::INT AS keep
 FROM scored
 """
+
+
+def _synth_host():
+    """Deterministic host synthesis shared by host_cap_sample and the
+    curation pipeline: doc_id%3 docs land on one designed megahost (3 is
+    coprime with the 20-source cycle so ordinary hosts stay under-cap),
+    the rest reuse the url_host_rollup convention."""
+    return F.when(
+        F.col("doc_id") % 3 == 0, F.lit("megahost.example.org")
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.org")))
+
+
+# host CASE shared by the two oracles (single-sourced with _synth_host)
+_SYNTH_HOST_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'megahost.example.org' "
+    "ELSE source || '.example.org' END"
+)
+
+
+def _host_cap_topk(base: DataFrame, cap: int, salts: int) -> DataFrame:
+    """Salted two-phase exact per-host top-``cap`` over (doc_id, host, h):
+    local top-cap per (host, salt) bounds any hot host's sort to
+    n_host/salts rows per task, then the host-global window ranks at most
+    salts*cap survivors per host. Single-sourced between
+    q_host_cap_sample and q_curation_pipeline."""
+    local = (
+        base.withColumn("s", F.pmod(F.xxhash64("doc_id"), F.lit(salts)))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                Window.partitionBy("host", "s").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("lr") <= cap)
+    )
+    return (
+        local.withColumn(
+            "host_rank",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("host_rank") <= cap)
+        .drop("s", "lr")
+    )
 
 
 def q_host_cap_sample(spark, sf_dir, cap: int = 20, salts: int = 8):
@@ -4692,29 +4741,13 @@ def q_host_cap_sample(spark, sf_dir, cap: int = 20, salts: int = 8):
     host-vocabulary-sized (broadcast). Exactness: the global top-K by
     (h, doc_id) is always contained in the union of per-salt top-Ks."""
     d = _spread(spark, _docs(spark, sf_dir))
-    host = F.when(
-        F.col("doc_id") % 3 == 0, F.lit("megahost.example.org")
-    ).otherwise(F.concat(F.col("source"), F.lit(".example.org")))
     base = d.select(
         "doc_id",
-        host.alias("host"),
+        _synth_host().alias("host"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
     counts = base.groupBy("host").agg(F.count(F.lit(1)).alias("n_host"))
-    local = (
-        base.withColumn("s", F.pmod(F.xxhash64("doc_id"), F.lit(salts)))
-        .withColumn(
-            "lr",
-            F.row_number().over(
-                Window.partitionBy("host", "s").orderBy("h", "doc_id")
-            ),
-        )
-        .filter(F.col("lr") <= cap)
-    )
-    kept = local.withColumn(
-        "host_rank",
-        F.row_number().over(Window.partitionBy("host").orderBy("h", "doc_id")),
-    ).filter(F.col("host_rank") <= cap)
+    kept = _host_cap_topk(base, cap, salts)
     return kept.join(F.broadcast(counts), "host").select(
         "doc_id",
         "host",
@@ -4723,11 +4756,10 @@ def q_host_cap_sample(spark, sf_dir, cap: int = 20, salts: int = 8):
     )
 
 
-_ORACLE_HOST_CAP = r"""
+_ORACLE_HOST_CAP = f"""
 WITH d AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'megahost.example.org'
-              ELSE source || '.example.org' END AS host,
+         {_SYNTH_HOST_SQL} AS host,
          md5(doc_id::VARCHAR) AS h
   FROM documents),
 r AS (
@@ -4738,6 +4770,95 @@ r AS (
 SELECT doc_id, host, host_rank::BIGINT AS host_rank, n_host::BIGINT AS n_host
 FROM r WHERE host_rank <= 20
 """
+
+
+def q_curation_pipeline(spark, sf_dir, cap: int = 20, salts: int = 8):
+    """Composed corpus-curation run chaining this round's three new
+    stages in production order — cheap map-side rules first, the
+    embedding stage last so it only ever scores survivors' worth of
+    pairs: C4 heuristic battery (keep=1) -> per-host cap (salted
+    two-phase top-K over the SURVIVORS, not the raw corpus — capping
+    after filtering is the semantically right order: junk must not
+    consume a host's quota) -> SemDeDup removal (left-anti against the
+    removed vec_ids; docs without an embedding row keep by contract —
+    no semantic signal is not a removal signal). Emits per-stage
+    (n_docs, n_chars) counts, the composition proof the per-operator
+    oracles can't give (column contracts + stage ordering), mirroring
+    training_pipeline_v2's per-stage-count pattern.
+
+    100 TB shape: every stage boundary is a doc_id hash equi-join
+    (C4 keep-set, cap keep-set) or anti-join (semantic removals); the
+    three stage frames reuse the single-sourced helpers (_C4 page
+    construction via q_c4_filters, _host_cap_topk, q_semantic_dedup),
+    so pipeline and standalone semantics cannot drift; the stage
+    counters are four 1-row aggregates unioned — nothing corpus-sized
+    crosses a stage except the doc stream itself."""
+    d0 = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    c4keep = (
+        q_c4_filters(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    )
+    s1 = d0.join(c4keep, "doc_id").select("doc_id", "source", "n_chars")
+    base = s1.select(
+        "doc_id",
+        _synth_host().alias("host"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    capkeep = _host_cap_topk(base, cap, salts).select("doc_id")
+    s2 = s1.join(capkeep, "doc_id")
+    semrm = (
+        q_semantic_dedup(spark, sf_dir)
+        .filter(F.col("is_removed") == 1)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    s3 = s2.join(semrm, "doc_id", "left_anti")
+
+    def stage(name, df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("long")
+            .alias("n_chars"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_chars")
+
+    return (
+        stage("input", d0)
+        .unionAll(stage("c4", s1))
+        .unionAll(stage("host_cap", s2))
+        .unionAll(stage("semantic", s3))
+    )
+
+
+_ORACLE_CURATION = (
+    f"WITH {_C4_CTES},\n{_semantic_dedup_ctes()},"
+    + f"""
+c4keep AS (
+  SELECT doc_id FROM scored
+  WHERE len(kept) >= 3 AND has_lorem = 0 AND has_brace = 0),
+d0 AS (SELECT doc_id, n_chars FROM documents WHERE len(trim(text)) > 0),
+s1 AS (SELECT d0.* FROM d0 JOIN c4keep USING (doc_id)),
+hb AS (
+  SELECT d.doc_id, {_SYNTH_HOST_SQL} AS host, md5(d.doc_id::VARCHAR) AS h
+  FROM documents d JOIN c4keep USING (doc_id)
+  WHERE len(trim(d.text)) > 0),
+hr AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY host ORDER BY h, doc_id) AS rk
+  FROM hb),
+s2 AS (SELECT s1.* FROM s1 JOIN hr USING (doc_id) WHERE hr.rk <= 20),
+s3 AS (SELECT s2.* FROM s2 WHERE s2.doc_id NOT IN (SELECT vec_id FROM rm))
+SELECT 'input' AS stage, count(*)::BIGINT AS n_docs,
+       coalesce(sum(n_chars), 0)::BIGINT AS n_chars FROM d0
+UNION ALL
+SELECT 'c4', count(*)::BIGINT, coalesce(sum(n_chars), 0)::BIGINT FROM s1
+UNION ALL
+SELECT 'host_cap', count(*)::BIGINT, coalesce(sum(n_chars), 0)::BIGINT FROM s2
+UNION ALL
+SELECT 'semantic', count(*)::BIGINT, coalesce(sum(n_chars), 0)::BIGINT FROM s3
+"""
+)
 
 
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
@@ -4812,6 +4933,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "semantic_dedup": (q_semantic_dedup, _ORACLE_SEMANTIC_DEDUP),
     "c4_filters": (q_c4_filters, _ORACLE_C4_FILTERS),
     "host_cap_sample": (q_host_cap_sample, _ORACLE_HOST_CAP),
+    "curation_pipeline": (q_curation_pipeline, _ORACLE_CURATION),
 }
 
 

@@ -322,3 +322,64 @@ def test_host_cap_sample_matches_independent_python(spark):
     assert small, "under-cap hosts must exist"
     for host in {r.host for r in small}:
         assert len([r for r in rows if r.host == host]) == len(byhost[host])
+
+
+def test_curation_pipeline_counts_compose_from_stage_operators(spark):
+    """Composition proof for curation_pipeline: rebuild each stage's
+    keep-set from the STANDALONE operators plus a plain-Python host cap
+    over the C4 survivors (the pipeline caps after filtering, so the
+    standalone cap output is deliberately NOT reusable here) and require
+    the per-stage (n_docs, n_chars) counters to match exactly."""
+    import hashlib
+
+    from html_sanitizer_spark.queries import (
+        q_c4_filters,
+        q_curation_pipeline,
+        q_semantic_dedup,
+    )
+
+    stages = {
+        r.stage: (r.n_docs, r.n_chars)
+        for r in q_curation_pipeline(spark, SF).collect()
+    }
+    assert set(stages) == {"input", "c4", "host_cap", "semantic"}
+
+    docs = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+        if r.text is not None and r.text.strip()
+    }
+    c4keep = {
+        r.doc_id for r in q_c4_filters(spark, SF).collect() if r.keep == 1
+    }
+    byhost: dict[str, list] = {}
+    for i in sorted(c4keep):
+        host = (
+            "megahost.example.org"
+            if i % 3 == 0
+            else f"{docs[i].source}.example.org"
+        )
+        byhost.setdefault(host, []).append(i)
+    capkeep = set()
+    for ids in byhost.values():
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        capkeep.update(order[:20])
+    semrm = {
+        r.vec_id
+        for r in q_semantic_dedup(spark, SF).collect()
+        if r.is_removed == 1
+    }
+    final = capkeep - semrm
+
+    def agg(ids):
+        return (len(ids), sum(docs[i].n_chars for i in ids))
+
+    assert stages["input"] == agg(set(docs))
+    assert stages["c4"] == agg(c4keep)
+    assert stages["host_cap"] == agg(capkeep)
+    assert stages["semantic"] == agg(final)
+    # every stage monotonically shrinks, and every stage actually bit
+    n = [stages[s][0] for s in ("input", "c4", "host_cap", "semantic")]
+    assert n[0] > n[1] > n[2] > n[3] > 0

@@ -224,6 +224,47 @@ BARRIER_CONVERGENCE = [
 ]
 
 
+# r06 late-campaign fuzz-mined chains needing THREE OR MORE passes to
+# reach the fixpoint: the li/p marker-strip regex removes ONE leading
+# marker per pass (reference sanitizer.py:346-350 — `^\s*(-|\*|&#183;)\s+`
+# applied once per walk, to BOTH li and p), so "- - " peels over two
+# passes, then the emptied element drops on the next. Pins the documented
+# bounded-monotone convergence contract on its longest observed chains.
+MULTI_PASS_CONVERGENCE = [
+    # (input, [pass1, pass2, ..., fixpoint])
+    ("- <li></p></button></td>- - ",
+     ["- <li>- </li>", "- <li></li>", "- "]),
+    ("<p></tr>- <tr></ul></a><td></button></a></ol><td></button><dd>- "
+     "<table></tr>- <ol><dd><p><table></td><dd></ul></tr><ol>x <b></ol>"
+     "<li><li><caption><td>",
+     ["<p>- - </p><ol><ol>x </ol></ol>",
+      "<p>- </p><ol><ol>x </ol></ol>",
+      "<p></p><ol><ol>x </ol></ol>",
+      "<ol><ol>x </ol></ol>"]),
+    ("<ol></td></li><ol><dd><table></li><th></button><button><th></b>"
+     "<ol></td><button></p></ul>x - <li><dd><button>* <td><table><table>x "
+     "</dl><caption><li></td><dt></b><li><caption>",
+     ["<ol><ol><ol>x - <li>* </li></ol>x </ol></ol>",
+      "<ol><ol><ol>x - <li></li></ol>x </ol></ol>",
+      "<ol><ol><ol>x - </ol>x </ol></ol>"]),
+    ("<table><ul></li><ul><tr></li></ol><b><caption></button><tr></dl>x "
+     "</b></p></p><p>x <th><dl></td><dd></dl></p></tr></table><dd><li>"
+     "</a><th><button></ol>* </li><td><td><b><table><p>",
+     ["<ul><ul><strong>x </strong><p>x </p></ul></ul><li>* </li>",
+      "<ul><ul><strong>x </strong><p>x </p></ul></ul><li></li>",
+      "<ul><ul><strong>x </strong><p>x </p></ul></ul>"]),
+]
+
+
+def test_multi_pass_convergence_pins():
+    for html, chain in MULTI_PASS_CONVERGENCE:
+        cur = html
+        for i, expected in enumerate(chain):
+            cur = sanitize(cur, _SETTINGS)
+            assert cur == expected, (html, i, cur)
+        assert sanitize(cur, _SETTINGS) == cur, html  # fixpoint holds
+
+
 def test_scope_barrier_convergence_pins():
     for html, first, fixpoint in BARRIER_CONVERGENCE:
         out = sanitize(html, _SETTINGS)
