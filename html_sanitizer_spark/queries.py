@@ -4861,6 +4861,146 @@ SELECT 'semantic', count(*)::BIGINT, coalesce(sum(n_chars), 0)::BIGINT FROM s3
 )
 
 
+_BLOOM_M = 2048  # deliberately undersized (see docstring)
+_BLOOM_OFFS = (1, 9, 17)  # md5-hex slice offsets -> k=3 hash functions
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter membership pre-screen for incremental ingest (Bloom
+    1970, public method; the Broder/Mitzenmacher survey shape): before
+    the exact digest-index probe (q_dedup_incremental), a new batch is
+    screened against a bit array built from the prior corpus's digests —
+    definite-new docs (any unset bit) skip the exact join entirely; only
+    bloom-maybe docs pay for it. k=3 positions come from three 8-hex
+    slices of the content digest itself (no second hash pass), stored as
+    32-bit words in BIGINTs so every shift stays positive in every
+    engine. Same %3 batch split as q_dedup_incremental. Output flags
+    each new doc with the bloom verdict, the exact truth, and whether it
+    is a false positive — the no-false-NEGATIVE invariant (is_dup=1 =>
+    bloom_maybe=1) is what makes the pre-screen sound, and both the
+    oracle and the semantics test pin it.
+
+    100 TB shape: the build is explode(3) -> ONE groupBy(idx) bit_or —
+    bit_or absorbs duplicate digests, so no DISTINCT pass, and map-side
+    partials shrink the shuffle to <= words-per-partition rows; the
+    probe joins on idx, which HASH-CO-PARTITIONS with the bit array, so
+    when m scales with the corpus (m ~ 10n bits = ~1.25 TB at 10^12
+    docs, far past broadcast) the same plan degrades gracefully to a
+    co-partitioned shuffle join — no plan rewrite, no driver-side
+    filter object (the reason this is relational rather than
+    spark.util.sketch.BloomFilter, which must fit on one machine).
+    Production would shard further as a blocked/split-block Bloom
+    filter; the idx keying here IS that sharding."""
+    eff = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.lit("subscribe to our newsletter boilerplate banner"),
+    ).otherwise(F.col("text"))
+    d = _docs(spark, sf_dir).select("doc_id", F.md5(eff).alias("digest"))
+    new = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    prior = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0).select("digest")
+
+    def positions(df):
+        return df.select(
+            *df.columns,
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.conv(F.substring("digest", off, 8), 16, 10)
+                            .cast("long"),
+                            F.lit(_BLOOM_M),
+                        )
+                        for off in _BLOOM_OFFS
+                    ]
+                )
+            ).alias("p"),
+        )
+
+    bits = (
+        positions(_spread(spark, prior))
+        .select(
+            F.expr("p div 32").alias("idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")
+            .alias("mask"),
+        )
+        .groupBy("idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    probe = (
+        positions(new)
+        .withColumn("idx", F.expr("p div 32"))
+        .join(bits, "idx", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.col("word").bitwiseAND(
+                        F.expr(
+                            "shiftleft(cast(1 as bigint), cast(p % 32 as int))"
+                        )
+                    )
+                    != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("hit").alias("bloom_maybe"))
+    )
+    truth = new.join(
+        prior.distinct().withColumn("seen", F.lit(1)), "digest", "left"
+    ).select("doc_id", F.coalesce(F.col("seen"), F.lit(0)).alias("is_dup"))
+    return probe.join(truth, "doc_id").select(
+        "doc_id",
+        F.col("bloom_maybe").cast("int").alias("bloom_maybe"),
+        F.col("is_dup").cast("int").alias("is_dup"),
+        F.when((F.col("bloom_maybe") == 1) & (F.col("is_dup") == 0), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("false_positive"),
+    )
+
+
+_ORACLE_BLOOM = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 0
+                  THEN 'subscribe to our newsletter boilerplate banner'
+                  ELSE text END) AS digest
+  FROM documents),
+new_b AS (SELECT doc_id, digest FROM d WHERE doc_id % 3 = 0),
+prior AS (SELECT digest FROM d WHERE doc_id % 3 <> 0),
+ppos AS (
+  SELECT (('0x' || substr(digest, off, 8))::BIGINT % {_BLOOM_M}) AS p
+  FROM prior, (SELECT unnest([1, 9, 17]) AS off)),
+bits AS (
+  SELECT p // 32 AS idx, bit_or(1::BIGINT << (p % 32)::INT) AS word
+  FROM ppos GROUP BY 1),
+npos AS (
+  SELECT doc_id, (('0x' || substr(digest, off, 8))::BIGINT % {_BLOOM_M}) AS p
+  FROM new_b, (SELECT unnest([1, 9, 17]) AS off)),
+probe AS (
+  SELECT n.doc_id,
+         min(CASE WHEN b.word IS NOT NULL
+                   AND (b.word & (1::BIGINT << (n.p % 32)::INT)) <> 0
+                  THEN 1 ELSE 0 END) AS bloom_maybe
+  FROM npos n LEFT JOIN bits b ON b.idx = n.p // 32
+  GROUP BY n.doc_id),
+truth AS (
+  SELECT n.doc_id,
+         CASE WHEN EXISTS (SELECT 1 FROM prior p WHERE p.digest = n.digest)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM new_b n)
+SELECT p.doc_id, p.bloom_maybe::INT AS bloom_maybe, t.is_dup::INT AS is_dup,
+       (CASE WHEN p.bloom_maybe = 1 AND t.is_dup = 0 THEN 1 ELSE 0 END)::INT
+         AS false_positive
+FROM probe p JOIN truth t USING (doc_id)
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -4934,6 +5074,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "c4_filters": (q_c4_filters, _ORACLE_C4_FILTERS),
     "host_cap_sample": (q_host_cap_sample, _ORACLE_HOST_CAP),
     "curation_pipeline": (q_curation_pipeline, _ORACLE_CURATION),
+    "bloom_prefilter": (q_bloom_prefilter, _ORACLE_BLOOM),
 }
 
 

@@ -591,3 +591,20 @@ def test_host_cap_sample_salted_two_phase_topk(spark):
     assert "CartesianProduct" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert not re.search(r"Sort \[.*?\], true", plan), plan
+
+
+def test_bloom_prefilter_bit_or_partials_idx_keyed_joins(spark):
+    """bloom_prefilter's 100TB claim: the bit-array build keeps its
+    map-side bit_or partial (two HashAggregates around the idx
+    exchange, no DISTINCT pass on digests), the probe joins on idx /
+    digest / doc_id hash keys only (broadcast at demo size; the idx
+    keying co-partitions at scale), and nothing forces a cartesian,
+    nested-loop, or range partitioning."""
+    from html_sanitizer_spark.queries import q_bloom_prefilter
+
+    plan = _plan(q_bloom_prefilter(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Python" not in plan, plan
