@@ -5001,6 +5001,117 @@ FROM probe p JOIN truth t USING (doc_id)
 """
 
 
+_CMS_D = 4
+_CMS_W = 8
+_CMS_OFFS = (1, 9, 17, 25)  # md5-hex slice offset per sketch row
+
+
+def _cms_col(row: int):
+    """Column index of a token in sketch row ``row``: an 8-hex slice of
+    the token's md5, mod the sketch width — one digest, d independent
+    slices (the bloom_prefilter convention)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5("token"), _CMS_OFFS[row], 8), 16, 10)
+        .cast("long"),
+        F.lit(_CMS_W),
+    )
+
+
+def q_cms_token_counts(spark, sf_dir, topk: int = 10):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005, public method) over the corpus token stream, audited against
+    exact counts for the top-``topk`` tokens: est = min over d rows of
+    the (row, col) counters, overcount = est - true >= 0 (the CMS
+    one-sided guarantee — never an undercount; pinned by the oracle
+    columns and the semantics test). The sketch is deliberately
+    UNDERSIZED (d=4 x w=8 against the synthetic corpus's ~31-word
+    vocabulary) so collisions actually produce nonzero overcounts and
+    the audit means something; production sizes w ~ e/epsilon for an
+    epsilon*N overcount bound (w=8 would be absurd at scale — the demo
+    inverts the ratio on purpose, exactly like bloom_prefilter's m).
+
+    100 TB shape: the sketch is the POINT — a fixed d*w-cell summary of
+    an unbounded token stream. Build = explode(d) -> ONE (r, c) groupBy
+    whose map-side partials shrink every partition to <= d*w rows before
+    the shuffle, exactly how a streaming/mergeable CMS accumulates; the
+    audit side reuses the vocab_topk TakeOrderedAndProject idiom (never
+    a global sort) and probes the sketch with a d*topk-row join that
+    AQE broadcasts. Nothing corpus-sized survives the partial agg."""
+    d0 = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    toks = d0.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+
+    def cells(df, *keep):
+        return df.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), _cms_col(r).alias("c")
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("rc"),
+        ).select(*keep, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+
+    sketch = cells(toks).groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    top = exact.orderBy(F.desc("true_count"), F.asc("token")).limit(topk)
+    est = (
+        cells(top, "token", "true_count")
+        .join(sketch, ["r", "c"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.select(
+        "token",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).alias("overcount"),
+    )
+
+
+def _cms_oracle_sql(topk: int = 10) -> str:
+    """Generated DuckDB twin of q_cms_token_counts (offsets/width/depth
+    single-sourced with the Spark constants)."""
+    case = "CASE r " + " ".join(
+        f"WHEN {r} THEN {off}" for r, off in enumerate(_CMS_OFFS)
+    ) + " END"
+    rs = ", ".join(str(r) for r in range(_CMS_D))
+    col = f"('0x' || substr(md5(token), {case}, 8))::BIGINT % {_CMS_W}"
+    return f"""
+WITH toks AS (
+  SELECT t.token FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS token
+    FROM documents WHERE len(trim(text)) > 0) t
+  WHERE len(t.token) > 0),
+cells AS (
+  SELECT r, {col} AS c FROM toks, (SELECT unnest([{rs}]) AS r)),
+sketch AS (SELECT r, c, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+exact AS (SELECT token, count(*)::BIGINT AS true_count FROM toks GROUP BY 1),
+top AS (SELECT token, true_count FROM exact
+        ORDER BY true_count DESC, token LIMIT {topk}),
+qcells AS (
+  SELECT token, true_count, r, {col} AS c
+  FROM top, (SELECT unnest([{rs}]) AS r)),
+est AS (
+  SELECT token, true_count, min(s.cnt)::BIGINT AS est_count
+  FROM qcells q JOIN sketch s USING (r, c) GROUP BY 1, 2)
+SELECT token, true_count, est_count,
+       (est_count - true_count)::BIGINT AS overcount
+FROM est
+"""
+
+
+_ORACLE_CMS = _cms_oracle_sql()
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -5075,6 +5186,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "host_cap_sample": (q_host_cap_sample, _ORACLE_HOST_CAP),
     "curation_pipeline": (q_curation_pipeline, _ORACLE_CURATION),
     "bloom_prefilter": (q_bloom_prefilter, _ORACLE_BLOOM),
+    "cms_token_counts": (q_cms_token_counts, _ORACLE_CMS),
 }
 
 

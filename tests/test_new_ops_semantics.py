@@ -429,3 +429,49 @@ def test_bloom_prefilter_matches_independent_python(spark):
     }
     # the undersized demo filter must actually exercise the fp path
     assert any(r.false_positive == 1 for r in rows.values())
+
+
+def test_cms_token_counts_matches_independent_python(spark):
+    """Third-implementation check for cms_token_counts: rebuild the d x w
+    sketch and the top-k audit in plain Python (hashlib slices, dict
+    counters) and require row-for-row equality; then the CMS guarantees —
+    est >= true for EVERY audited token (one-sided error), the undersized
+    demo sketch actually colliding (some overcount > 0), and min-over-rows
+    beating any single row (est <= each row's counter)."""
+    import hashlib
+
+    from html_sanitizer_spark.queries import (
+        _CMS_D,
+        _CMS_OFFS,
+        _CMS_W,
+        q_cms_token_counts,
+    )
+
+    rows = {r.token: r for r in q_cms_token_counts(spark, SF).collect()}
+    counts: dict[str, int] = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        if r.text is None or not r.text.strip():
+            continue
+        for t in r.text.strip().split(" "):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+
+    def cols(token):
+        h = hashlib.md5(token.encode()).hexdigest()
+        return [
+            (r, int(h[off - 1 : off + 7], 16) % _CMS_W)
+            for r, off in enumerate(_CMS_OFFS[:_CMS_D])
+        ]
+
+    sketch: dict[tuple, int] = {}
+    for t, n in counts.items():
+        for rc in cols(t):
+            sketch[rc] = sketch.get(rc, 0) + n
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert set(rows) == {t for t, _ in top}
+    for t, n in top:
+        est = min(sketch[rc] for rc in cols(t))
+        r = rows[t]
+        assert (r.true_count, r.est_count, r.overcount) == (n, est, est - n)
+        assert r.est_count >= r.true_count  # one-sided CMS guarantee
+    assert any(r.overcount > 0 for r in rows.values())  # collisions bind

@@ -608,3 +608,20 @@ def test_bloom_prefilter_bit_or_partials_idx_keyed_joins(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Python" not in plan, plan
+
+
+def test_cms_token_counts_partial_agg_no_global_sort(spark):
+    """cms_token_counts' 100TB claim: the sketch build keeps its map-side
+    partial (every partition shrinks to <= d*w rows before the (r, c)
+    exchange), the audit's top-k is TakeOrderedAndProject (never a global
+    Sort), and the sketch probe join stays hash/broadcast — no cartesian,
+    nested-loop, or range partitioning anywhere."""
+    from html_sanitizer_spark.queries import q_cms_token_counts
+
+    plan = _plan(q_cms_token_counts(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Python" not in plan, plan
