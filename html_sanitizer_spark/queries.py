@@ -5112,6 +5112,123 @@ FROM est
 _ORACLE_CMS = _cms_oracle_sql()
 
 
+_HLL_M = 64  # registers (p = 6 bits)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_SCALE = 56  # harmonic sum carried as sum(2^(56 - rho)) in BIGINT
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(2 ** _HLL_SCALE)
+
+
+def q_hll_cardinality(spark, sf_dir):
+    """HyperLogLog distinct-count estimation (Flajolet et al. 2007,
+    public method) over content digests, audited against the exact
+    count: bucket = first byte of md5 mod 64, rho = leading-zero rank of
+    the next 56 bits, registers = ONE groupBy(bucket) max(rho). The
+    harmonic mean is the usual float-parity trap (64 terms spanning
+    2^0..2^-56 — double addition order flips low bits between engines),
+    so the sum is carried as EXACT BIGINT mass 2^(56-rho) per register
+    (max 64*2^56 = 2^62, in range) and doubles appear only in the final
+    single division + optional linear-counting branch — the same
+    all-positive fixed-point discipline as link_pagerank and
+    semantic_dedup, applied to a sketch estimator. Empty registers
+    contribute rho=0 mass and drive the small-range linear-counting
+    correction (m*ln(m/V)), taken identically in both engines (ln parity
+    proven by tfidf_topk). Output: one audited row (n_true, hll_est,
+    rel_err).
+
+    100 TB shape: the ONLY corpus-sized stage is the 64-group max
+    aggregation — map-side partials shrink every partition to <= m rows,
+    which is exactly why HLL is the production cardinality sketch
+    (mergeable registers; Spark's own approx_count_distinct is this
+    estimator behind a non-reproducible hash, which is why this one is
+    relational and digest-keyed). Everything after the groupBy is
+    64-row arithmetic."""
+    d = _docs(spark, sf_dir).select(F.md5("text").alias("h"))
+    regs = (
+        _spread(spark, d)
+        .select(
+            (
+                F.conv(F.substring("h", 1, 2), 16, 10).cast("long")
+                % _HLL_M
+            ).alias("bucket"),
+            F.conv(F.substring("h", 3, 14), 16, 10).cast("long").alias("v"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("v") == 0, F.lit(57))
+            .otherwise(F.lit(57) - F.expr("length(bin(v))"))
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    all_buckets = spark.range(_HLL_M).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    filled = all_buckets.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
+    )
+    sums = filled.agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint),"
+                f" {_HLL_SCALE} - cast(least(rho, {_HLL_SCALE}) as int))"
+            )
+        ).alias("s_int"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    truth = d.agg(F.countDistinct("h").alias("n_true"))
+    m = float(_HLL_M)
+    c = _HLL_ALPHA * m * m * float(2 ** _HLL_SCALE)  # one double literal
+    raw = F.lit(c) / F.col("s_int").cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(m) * F.log(F.lit(m) / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    return sums.crossJoin(truth).select(
+        "n_true",
+        F.round(est, 4).alias("hll_est"),
+        F.round(
+            F.abs(est - F.col("n_true").cast("double"))
+            / F.col("n_true").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+_ORACLE_HLL = f"""
+WITH d AS (SELECT md5(text) AS h FROM documents),
+pre AS (
+  SELECT ('0x' || substr(h, 1, 2))::BIGINT % {_HLL_M} AS bucket,
+         ('0x' || substr(h, 3, 14))::BIGINT AS v
+  FROM d),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END) AS rho
+  FROM pre GROUP BY bucket),
+filled AS (
+  SELECT b.bucket, coalesce(r.rho, 0) AS rho
+  FROM (SELECT unnest(range(0, {_HLL_M})) AS bucket) b
+  LEFT JOIN regs r USING (bucket)),
+sums AS (
+  SELECT sum(1::BIGINT << ({_HLL_SCALE} - least(rho, {_HLL_SCALE}))::INT
+            )::BIGINT AS s_int,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM filled),
+truth AS (SELECT count(DISTINCT h)::BIGINT AS n_true FROM d),
+est AS (
+  SELECT n_true,
+         CASE WHEN ({_HLL_C:.17e} / s_int::DOUBLE)
+                   <= {2.5 * _HLL_M!r} AND zeros > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros::DOUBLE)
+              ELSE {_HLL_C:.17e} / s_int::DOUBLE
+         END AS e
+  FROM sums CROSS JOIN truth)
+SELECT n_true, round(e, 4) AS hll_est,
+       round(abs(e - n_true::DOUBLE) / n_true::DOUBLE, 4) AS rel_err
+FROM est
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -5187,6 +5304,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "curation_pipeline": (q_curation_pipeline, _ORACLE_CURATION),
     "bloom_prefilter": (q_bloom_prefilter, _ORACLE_BLOOM),
     "cms_token_counts": (q_cms_token_counts, _ORACLE_CMS),
+    "hll_cardinality": (q_hll_cardinality, _ORACLE_HLL),
 }
 
 

@@ -625,3 +625,19 @@ def test_cms_token_counts_partial_agg_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Python" not in plan, plan
+
+
+def test_hll_cardinality_register_partials_only(spark):
+    """hll_cardinality's 100TB claim: the only corpus-sized stage is the
+    64-register max groupBy with its map-side partial (two
+    HashAggregates around one exchange); everything downstream is
+    64-row arithmetic plus the 1-row audit crossJoin (the bounded-scalar
+    contract) — no range partitioning, no Python, no cartesian beyond
+    that scalar."""
+    from html_sanitizer_spark.queries import q_hll_cardinality
+
+    plan = _plan(q_hll_cardinality(spark, SF))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Python" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
