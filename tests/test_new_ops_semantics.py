@@ -519,3 +519,75 @@ def test_hll_cardinality_matches_independent_python(spark):
     assert row.hll_est == round(est, 4)
     assert row.rel_err == round(abs(est - len(hs)) / len(hs), 4)
     assert row.rel_err < 0.4
+
+
+def test_semantic_dedup_empty_cluster_keeps_old_centroid(spark):
+    """Edge-case differential for the Lloyd fallback branch: seed
+    vectors 0 and 61 are IDENTICAL, so on the first assignment the
+    lower cid wins the tie for every would-be member and cluster 1 goes
+    EMPTY — the update must keep its previous centroid (Spark:
+    means.get fallback; oracle: the CASE WHEN m.cid IS NULL arm), and
+    the two engines must still agree value-for-value. Runs on a
+    constructed temp corpus; also pins that the duplicated seed pair is
+    mutually cosine-1 and dedups keep-first."""
+    import math
+    import tempfile
+
+    import duckdb
+
+    from html_sanitizer_spark.queries import REGISTRY
+
+    def vec(seed):
+        # deterministic pseudo-vector, no RNG state dependence
+        return [
+            math.sin(0.1 * seed + 0.37 * j) * 0.3 for j in range(64)
+        ]
+
+    rows = []
+    for i in range(200):
+        v = vec(61) if i in (0, 61) else vec(i)
+        rows.append((i, [float(x) for x in v], i % 5))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    fn, sql = REGISTRY["semantic_dedup"]
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/embeddings.parquet")
+        out = fn(spark, td).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{td}/embeddings.parquet/*.parquet')"
+        )
+        oracle = con.execute(sql).df()
+    canon = lambda d: sorted(  # noqa: E731
+        "|".join(str(r[c]) for c in sorted(d.columns))
+        for _, r in d.iterrows()
+    )
+    assert canon(out) == canon(oracle)
+    assert len(out) == 200
+    by_vec = out.set_index("vec_id")
+    # the duplicated seed pair: same cluster, identical vectors ->
+    # cosine 1 -> keep-first removes 61, keeps 0
+    assert by_vec.loc[0, "cluster"] == by_vec.loc[61, "cluster"]
+    assert by_vec.loc[0, "is_removed"] == 0
+    assert by_vec.loc[61, "is_removed"] == 1
+    # prove the fallback branch actually fired: on the FIRST assignment
+    # every point ties c0 vs the identical c1 and the lower cid wins, so
+    # cluster 1 has zero members in iteration 1's update (by the final
+    # assignment it may regain members — its centroid stays put while
+    # cluster 0's drifts to the mean, which is exactly the kept-old-
+    # centroid semantics under test)
+    qv = {
+        i: [math.floor(x * 1e6) + 4_000_000 for x in (vec(61) if i in (0, 61) else vec(i))]
+        for i in range(200)
+    }
+    seeds = [qv[v] for v in sorted(v for v in qv if v % 61 == 0)[:8]]
+    first = {
+        v: min(
+            (sum((a - b) * (a - b) for a, b in zip(w, c)), i)
+            for i, c in enumerate(seeds)
+        )[1]
+        for v, w in qv.items()
+    }
+    assert 1 not in set(first.values())
