@@ -5229,6 +5229,76 @@ FROM est
 """
 
 
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (overlap = W - S = 8 tokens)
+
+
+def q_doc_chunking(spark, sf_dir):
+    """Fixed-window document chunking with stride overlap (the
+    context-window splitting stage every pretraining pipeline runs on
+    long documents BEFORE packing — seq_packing packs short sequences;
+    this is its complement for docs longer than the window): tokens
+    split into W=32-token chunks starting every S=24 tokens (8-token
+    overlap so no boundary context is lost), last chunk short by
+    construction. Emits one row per chunk with its index, token count,
+    and content digest (the digest is what downstream paragraph-level
+    dedup keys on, and what makes the output oracle-checkable without
+    shipping chunk text).
+
+    100 TB shape: pure map — split, ONE transform over the chunk-index
+    sequence (slice + digest in the same lambda), posexplode; zero
+    joins, zero keyed shuffles, nothing leaves the scan task but the
+    chunk rows themselves (the same zero-shuffle contract as c4_filters,
+    plan-gated). Chunk count per doc is ceil-div arithmetic, never a
+    second pass."""
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    base = d.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("w"))
+    n_chunks = F.expr(f"(size(w) - 1) div {_CHUNK_S} + 1")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda j: F.struct(
+            F.slice(
+                F.col("w"), (j * _CHUNK_S + 1).cast("int"), _CHUNK_W
+            ).alias("toks"),
+        ),
+    )
+    return (
+        base.select(
+            "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("c.toks").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("c.toks", " ")).alias("chunk_digest"),
+        )
+    )
+
+
+_ORACLE_DOC_CHUNKING = f"""
+WITH base AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w
+  FROM documents WHERE len(trim(text)) > 0),
+c AS (
+  SELECT doc_id,
+         unnest(range(0, (len(w) - 1) // {_CHUNK_S} + 1)) AS chunk_idx,
+         w
+  FROM base)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       len(list_slice(w, chunk_idx * {_CHUNK_S} + 1,
+                      chunk_idx * {_CHUNK_S} + {_CHUNK_W}))::BIGINT
+         AS n_tokens,
+       md5(array_to_string(
+             list_slice(w, chunk_idx * {_CHUNK_S} + 1,
+                        chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' '))
+         AS chunk_digest
+FROM c
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -5305,6 +5375,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "bloom_prefilter": (q_bloom_prefilter, _ORACLE_BLOOM),
     "cms_token_counts": (q_cms_token_counts, _ORACLE_CMS),
     "hll_cardinality": (q_hll_cardinality, _ORACLE_HLL),
+    "doc_chunking": (q_doc_chunking, _ORACLE_DOC_CHUNKING),
 }
 
 

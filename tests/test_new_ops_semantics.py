@@ -591,3 +591,47 @@ def test_semantic_dedup_empty_cluster_keeps_old_centroid(spark):
         for v, w in qv.items()
     }
     assert 1 not in set(first.values())
+
+
+def test_doc_chunking_matches_independent_python(spark):
+    """Third-implementation check for doc_chunking: rebuild the strided
+    windows in plain Python and require row-for-row equality, then the
+    coverage laws — chunk starts every S tokens, consecutive full chunks
+    overlap by exactly W-S tokens, the union of chunks covers the whole
+    token stream, and every chunk is nonempty with only the tail short."""
+    import hashlib
+
+    from html_sanitizer_spark.queries import _CHUNK_S, _CHUNK_W, q_doc_chunking
+
+    rows = q_doc_chunking(spark, SF).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_digest) for r in rows}
+    assert len(got) == len(rows)  # (doc, idx) unique
+    docs = {
+        r.doc_id: r.text.strip().split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+        if r.text is not None and r.text.strip()
+    }
+    expect = {}
+    for doc_id, w in docs.items():
+        n_chunks = (len(w) - 1) // _CHUNK_S + 1
+        for j in range(n_chunks):
+            toks = w[j * _CHUNK_S : j * _CHUNK_S + _CHUNK_W]
+            expect[(doc_id, j)] = (
+                len(toks),
+                hashlib.md5(" ".join(toks).encode()).hexdigest(),
+            )
+    assert got == expect
+    # coverage law: chunks tile the stream with stride S
+    for doc_id, w in docs.items():
+        idxs = sorted(j for d, j in got if d == doc_id)
+        assert idxs == list(range(len(idxs)))
+        sizes = [got[(doc_id, j)][0] for j in idxs]
+        assert all(s > 0 for s in sizes)
+        # exact size law: each chunk is W tokens unless clipped by the
+        # stream end (with S < W the clip can hit the penultimate chunk
+        # too, e.g. 78 tokens -> 32, 32, 30, 6)
+        assert sizes == [
+            min(_CHUNK_W, len(w) - _CHUNK_S * j) for j in idxs
+        ]
+        # last chunk ends exactly at the stream end
+        assert (len(idxs) - 1) * _CHUNK_S + sizes[-1] == len(w)

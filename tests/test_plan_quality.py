@@ -641,3 +641,17 @@ def test_hll_cardinality_register_partials_only(spark):
     assert "Python" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_chunking_zero_keyed_shuffles(spark):
+    """doc_chunking's 100TB claim: pure map — no joins, no keyed
+    exchange, no Python; only _spread's round-robin fan-out of the
+    single-split test input is allowed."""
+    from html_sanitizer_spark.queries import q_doc_chunking
+
+    plan = _plan(q_doc_chunking(spark, SF))
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") <= 1, plan
