@@ -5299,6 +5299,96 @@ FROM c
 """
 
 
+_CLF_BUCKETS = 1 << 20  # hashed feature space
+_CLF_THRESHOLD = 0.5
+
+
+def q_classifier_quality(spark, sf_dir):
+    """Classifier-based quality scoring (the fasttext-style hashed
+    linear model every production corpus filter runs — CCNet / LLaMA
+    quality classifiers, public practice; Weinberger et al. 2009 feature
+    hashing): each token hashes into a 2^20-bucket weight table, the doc
+    score is sigmoid(mean bucket weight), keep at score >= 0.5. The
+    sandbox has no trained weights, so the table is DERIVED
+    deterministically from the bucket id itself (md5-slice int in
+    [-100, 100] — the stand-in for a broadcast weight array; every
+    downstream stage is the real scoring shape). The mean is carried as
+    an EXACT BIGINT weight sum over an exact token count — doubles only
+    in the final sigmoid (single exp, parity proven by the lm/tfidf ln
+    precedent) — the repo's fixed-point discipline, because a
+    float-accumulated dot product is order-dependent across engines.
+
+    100 TB shape: scoring is pure map — hash, weight lookup (here an
+    expression; in production a 4 MB broadcast float array indexed
+    map-side — never a join against a corpus-sized stream), ONE per-doc
+    groupBy with map-side partial sum/count. The classic mistake this
+    avoids: shipping the weight TABLE through a shuffle join keyed by
+    token — Zipf-hot tokens would re-create the lm_bigram skew case for
+    zero benefit when the table broadcasts."""
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
+        F.lit(_CLF_BUCKETS),
+    )
+    # deterministic "learned" weight: md5 of the bucket id -> [-100, 100]
+    weight = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(bucket.cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(201),
+        )
+        - 100
+    )
+    scored = toks.select("doc_id", weight.alias("w")).groupBy("doc_id").agg(
+        F.sum("w").alias("wsum"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    mean = F.col("wsum").cast("double") / (
+        F.lit(25.0) * F.col("n_tokens").cast("double")
+    )  # /25 squashes the [-100,100] grain into sigmoid's active range
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+    return scored.select(
+        "doc_id",
+        "wsum",
+        "n_tokens",
+        F.round(score, 4).alias("score"),
+        F.when(score >= _CLF_THRESHOLD, 1).otherwise(0).alias("keep"),
+    )
+
+
+_ORACLE_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id, t.token FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+    FROM documents WHERE len(trim(text)) > 0) t
+  WHERE len(t.token) > 0),
+w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(
+             (('0x' || substr(md5(token), 1, 8))::BIGINT
+              % {_CLF_BUCKETS})::VARCHAR), 1, 8))::BIGINT % 201) - 100 AS w
+  FROM toks),
+scored AS (
+  SELECT doc_id, sum(w)::BIGINT AS wsum, count(*)::BIGINT AS n_tokens
+  FROM w GROUP BY doc_id)
+SELECT doc_id, wsum, n_tokens,
+       round(1.0 / (1.0 + exp(-(wsum::DOUBLE / (25.0 * n_tokens::DOUBLE)))),
+             4) AS score,
+       CASE WHEN 1.0 / (1.0 + exp(-(wsum::DOUBLE
+                                    / (25.0 * n_tokens::DOUBLE))))
+                 >= {_CLF_THRESHOLD} THEN 1 ELSE 0 END AS keep
+FROM scored
+"""
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -5376,6 +5466,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "cms_token_counts": (q_cms_token_counts, _ORACLE_CMS),
     "hll_cardinality": (q_hll_cardinality, _ORACLE_HLL),
     "doc_chunking": (q_doc_chunking, _ORACLE_DOC_CHUNKING),
+    "classifier_quality": (q_classifier_quality, _ORACLE_CLASSIFIER),
 }
 
 

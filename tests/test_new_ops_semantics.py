@@ -635,3 +635,41 @@ def test_doc_chunking_matches_independent_python(spark):
         ]
         # last chunk ends exactly at the stream end
         assert (len(idxs) - 1) * _CHUNK_S + sizes[-1] == len(w)
+
+
+def test_classifier_quality_matches_independent_python(spark):
+    """Third-implementation check for classifier_quality: rebuild the
+    hashed-weight scoring in plain Python (hashlib buckets, exact int
+    weight sums, one final sigmoid) and require value equality; then the
+    decision-boundary laws — keep iff score >= 0.5 which (sigmoid
+    monotonicity) is wsum >= 0, and both classes present so the filter
+    actually separates."""
+    import hashlib
+    import math
+
+    from html_sanitizer_spark.queries import (
+        _CLF_BUCKETS,
+        q_classifier_quality,
+    )
+
+    rows = {r.doc_id: r for r in q_classifier_quality(spark, SF).collect()}
+
+    def weight(token):
+        b = int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % _CLF_BUCKETS
+        return (
+            int(hashlib.md5(str(b).encode()).hexdigest()[:8], 16) % 201
+        ) - 100
+
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        if r.text is None or not r.text.strip():
+            continue
+        toks = [t for t in r.text.strip().split(" ") if t]
+        wsum = sum(weight(t) for t in toks)
+        score = 1.0 / (1.0 + math.exp(-(wsum / (25.0 * len(toks)))))
+        got = rows[r.doc_id]
+        assert (got.wsum, got.n_tokens) == (wsum, len(toks)), r.doc_id
+        assert got.score == round(score, 4), r.doc_id
+        assert got.keep == int(score >= 0.5)
+        assert got.keep == int(wsum >= 0)  # sigmoid monotonicity
+    keeps = {r.keep for r in rows.values()}
+    assert keeps == {0, 1}, "filter must actually separate the corpus"

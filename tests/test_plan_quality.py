@@ -655,3 +655,18 @@ def test_doc_chunking_zero_keyed_shuffles(spark):
     assert "hashpartitioning" not in plan.lower(), plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_classifier_quality_map_side_scoring_no_token_join(spark):
+    """classifier_quality's 100TB claim: weight lookup is a map-side
+    expression, never a join of the corpus token stream against a
+    weight table (the Zipf-hot-token shuffle the docstring warns
+    about) — so no joins at all, one per-doc aggregation with its
+    map-side partial, no Python, no range partitioning."""
+    from html_sanitizer_spark.queries import q_classifier_quality
+
+    plan = _plan(q_classifier_quality(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 2, plan
