@@ -5389,6 +5389,76 @@ FROM scored
 """
 
 
+_JL_K = 16  # target dimensionality (scale 1/sqrt(16) = 1/4, exact binary)
+_JL_SEED = 7
+
+
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (JL 1984 / Achlioptas
+    2003, public method): unit embeddings projected 64 -> 16 dims
+    against seeded Gaussian hyperplanes (the ann_lsh plane
+    infrastructure, continuous instead of sign-quantized), components
+    scaled by 1/sqrt(k) = 1/4 EXACTLY (a binary fraction, so the scale
+    itself adds no float drift) — the dimensionality-reduction stage in
+    front of clustering / ANN when 100 TB of 1k-dim embeddings won't
+    fit the similarity budget. Output is one row per (vec_id, dim)
+    component (arrays stringify differently across pandas/DuckDB, the
+    known value-hash trap), at the repo's 4-decimal output grain.
+
+    100 TB shape: pure map — the 16 plane dot products are expressions
+    against literal arrays (zero shuffle, the IVF-centroid pattern;
+    in production the planes ship as a broadcast matrix), one
+    posexplode; no joins, no keyed exchange, plan-gated. The JL
+    distance-preservation guarantee is pinned by the semantics test on
+    sampled pairs, not here — the query is the transform itself."""
+    from .functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, _JL_K, _JL_SEED)
+    unit = _unit(F.col("embedding"))
+    comps = F.array(
+        *[
+            F.round(
+                _dot(unit, F.array(*[F.lit(float(v)) for v in plane]))
+                / F.lit(4.0),
+                4,
+            )
+            + F.lit(0.0)  # kill -0.0: round() of a tiny negative yields
+                          # negative zero, which strings differently
+            for plane in planes
+        ]
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.posexplode(comps).alias("dim", "comp"))
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), "comp")
+    )
+
+
+def _jl_oracle_sql() -> str:
+    """Generated DuckDB twin of q_jl_projection (planes single-sourced
+    from the same seeded generator)."""
+    from .functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, _JL_K, _JL_SEED)
+    rows = ",\n    ".join(
+        f"({k}, [{', '.join(repr(float(v)) for v in plane)}])"
+        for k, plane in enumerate(planes)
+    )
+    dot = _dot_sql("u.unit", "p.plane")
+    return f"""
+WITH {_ORACLE_UNIT_CTE},
+planes(dim, plane) AS (VALUES
+    {rows}),
+proj AS (
+  SELECT u.vec_id, p.dim, round(({dot}) / 4.0, 4) + 0.0 AS comp
+  FROM u CROSS JOIN planes p)
+SELECT vec_id, dim::BIGINT AS dim, comp FROM proj
+"""
+
+
+_ORACLE_JL = _jl_oracle_sql()
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -5467,6 +5537,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "hll_cardinality": (q_hll_cardinality, _ORACLE_HLL),
     "doc_chunking": (q_doc_chunking, _ORACLE_DOC_CHUNKING),
     "classifier_quality": (q_classifier_quality, _ORACLE_CLASSIFIER),
+    "jl_projection": (q_jl_projection, _ORACLE_JL),
 }
 
 

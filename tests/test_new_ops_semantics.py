@@ -673,3 +673,55 @@ def test_classifier_quality_matches_independent_python(spark):
         assert got.keep == int(wsum >= 0)  # sigmoid monotonicity
     keeps = {r.keep for r in rows.values()}
     assert keeps == {0, 1}, "filter must actually separate the corpus"
+
+
+def test_jl_projection_matches_python_and_preserves_distances(spark):
+    """Third-implementation check for jl_projection (hashlib-free: the
+    same seeded plane generator, plain-Python dots) plus the JL
+    property the transform exists for: squared distances between
+    sampled pairs are preserved in expectation — per-pair ratios stay
+    within loose deterministic bounds and the mean ratio is near 1."""
+    import math
+
+    from html_sanitizer_spark.functions.similarity import _hyperplanes
+    from html_sanitizer_spark.queries import _JL_K, _JL_SEED, q_jl_projection
+
+    rows = q_jl_projection(spark, SF).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.vec_id, [0.0] * _JL_K)[r.dim] = r.comp
+    planes = _hyperplanes(64, _JL_K, _JL_SEED)
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    assert set(got) == set(emb)
+
+    def unit(arr):
+        n = math.sqrt(sum(x * x for x in arr))
+        return [x / n for x in arr]
+
+    expect = {}
+    for v, arr in emb.items():
+        u = unit(arr)
+        comps = []
+        for plane in planes:
+            d = 0.0
+            for x, y in zip(u, plane):
+                d += x * y
+            comps.append(round(d / 4.0, 4) + 0.0)
+        expect[v] = comps
+    assert got == expect
+    # JL distance preservation on 40 deterministic pairs
+    ids = sorted(emb)[:80]
+    ratios = []
+    for a, b in zip(ids[::2], ids[1::2]):
+        ua, ub = unit(emb[a]), unit(emb[b])
+        d_orig = sum((x - y) ** 2 for x, y in zip(ua, ub))
+        d_proj = sum((x - y) ** 2 for x, y in zip(got[a], got[b]))
+        if d_orig > 1e-9:
+            ratios.append(d_proj / d_orig)
+    assert ratios
+    assert all(0.2 < r < 3.0 for r in ratios), ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean

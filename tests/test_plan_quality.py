@@ -670,3 +670,17 @@ def test_classifier_quality_map_side_scoring_no_token_join(spark):
     assert "Python" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_jl_projection_zero_shuffle_map(spark):
+    """jl_projection's 100TB claim: the 16 plane dots are expressions
+    against literal arrays — pure map, no joins, no keyed exchange, no
+    Python; only the scan fan-out exchange is permitted."""
+    from html_sanitizer_spark.queries import q_jl_projection
+
+    plan = _plan(q_jl_projection(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") <= 1, plan
