@@ -56,6 +56,12 @@ def build_pdf(
     ``emit_order``: permutation in which lines are written to the content
     stream; extraction must restore top-to-bottom reading order from the
     Tm coordinates regardless.
+
+    Input contract: text must be **latin-1 encodable** (chars <= U+00FF).
+    Classic-PDF string objects are single-byte; wider code points need
+    Type0/CID fonts, which sit behind the declared codec constraint in
+    :func:`extract_pdf_runs`. Non-latin-1 input raises UnicodeEncodeError
+    — callers (``q_pdf_extract``) guard their input accordingly.
     """
     if op not in ("Tj", "TJ", "hex"):
         raise ValueError(f"op must be Tj|TJ|hex, got {op!r}")
@@ -107,24 +113,68 @@ def build_pdf(
 # extractor
 # --------------------------------------------------------------------------
 
-# Matches the stream HEAD only; the payload is sliced by /Length, never by
-# searching for "endstream" — a compressed payload can legitimately end in
-# 0x0d/0x0a bytes that a `\r?\nendstream` regex would strip (truncated-zlib
-# bug found by the sf0.001 oracle run), or even contain the word itself.
-_STREAM_HEAD_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+# The stream keyword, anchored to the '>>' that closes its OWN dict; the
+# dict body is then recovered by a BACKWARD balanced '<< >>' scan from that
+# '>>' (a non-greedy '<<(.*?)>>\s*stream' would start at the first
+# unconsumed '<<' in the file, spanning every preceding object's dict, so
+# an earlier object's /Length or filter name mis-slices the payload).
+# The payload itself is sliced by /Length, never by searching for
+# "endstream" — a compressed payload can legitimately end in 0x0d/0x0a
+# bytes that a `\r?\nendstream` regex would strip (truncated-zlib bug found
+# by the sf0.001 oracle run), or even contain the word itself.
+_STREAM_KW_RE = re.compile(rb">>\s*stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 
 
+def _dict_open(data: bytes, close: int, floor: int) -> int:
+    """Index of the '<<' balance-matching the '>>' that starts at ``close``,
+    scanning no earlier than ``floor`` (start of the current object region,
+    so a prior stream's binary payload can't be walked into). Returns
+    ``floor`` if the scan fails to balance (malformed input — the caller
+    then sees a wider dict_src, same failure mode as before, never worse).
+    Token scan only: '<<'/'>>' inside literal strings in the dict would
+    miscount, which classic PDFs do not produce in stream dicts."""
+    depth = 1
+    i = close
+    while i > floor:
+        j_open = data.rfind(b"<<", floor, i)
+        j_close = data.rfind(b">>", floor, i)
+        if j_close > j_open:
+            depth += 1
+            i = j_close
+        else:
+            if j_open < 0:
+                return floor
+            depth -= 1
+            i = j_open
+            if depth == 0:
+                return j_open
+    return floor
+
+
 def _iter_streams(data: bytes):
-    for m in _STREAM_HEAD_RE.finditer(data):
-        dict_src, start = m.group(1), m.end()
+    pos = 0  # cursor past the last consumed payload: payload bytes are
+    # never re-scanned for stream heads (compressed output can contain
+    # '>> stream' byte runs spuriously)
+    while True:
+        m = _STREAM_KW_RE.search(data, pos)
+        if m is None:
+            return
+        ds = _dict_open(data, m.start(), pos)
+        if data[ds:ds + 2] == b"<<":
+            ds += 2  # skip the opener itself; keep only the dict body
+        dict_src = data[ds:m.start()]
+        start = m.end()
         lm = _LENGTH_RE.search(dict_src)
         if lm:  # direct /Length: exact slice
-            payload = data[start:start + int(lm.group(1))]
+            end = start + int(lm.group(1))
+            payload = data[start:end]
+            pos = end
         else:  # indirect length ref: fall back, trimming the EOL we wrote
             end = data.find(b"endstream", start)
             payload = data[start:end if end >= 0 else len(data)]
             payload = payload.rstrip(b"\r\n")
+            pos = end if end >= 0 else len(data)
         yield dict_src, payload
 _UNSUPPORTED_FILTERS = (
     b"/DCTDecode", b"/JPXDecode", b"/LZWDecode", b"/CCITTFaxDecode",

@@ -3684,14 +3684,26 @@ def q_pdf_extract(spark, sf_dir):
 
     100 TB shape: pure map — one mapInPandas hop doing build+extract,
     ZERO shuffles (only _spread's small-file fan-out, absent on real
-    multi-split inputs)."""
+    multi-split inputs).
+
+    Input contract: ``build_pdf`` renders text as PDF literal/hex strings
+    in the single-byte default encoding, i.e. latin-1 only (classic PDFs
+    without Type0 fonts cannot carry wider code points — the same
+    declared constraint extract_pdf_runs raises for). Docs with any char
+    above U+00FF are excluded by an explicit guard on BOTH engines (the
+    synthetic corpus is pure ASCII, so the guard is a no-op here; on a
+    general corpus it prevents a UnicodeEncodeError inside the executor
+    from failing the whole query)."""
     import pandas as pd
 
     from .functions.pdf import build_pdf, extract_pdf_text
 
     d = _spread(
         spark,
-        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+        _docs(spark, sf_dir).filter(
+            (F.length(F.trim(F.col("text"))) > 0)
+            & F.col("text").rlike("^[\\x00-\\xff]*$")  # latin-1 contract
+        ),
     ).select("doc_id", "text")
 
     def gen(batches):
@@ -3727,7 +3739,9 @@ _ORACLE_PDF_EXTRACT = r"""
 WITH w AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
-  FROM documents WHERE length(trim(text)) > 0),
+  FROM documents
+  WHERE length(trim(text)) > 0
+    AND regexp_matches(text, '^[\x00-\xff]*$')),
 tok AS (
   SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
   FROM w),

@@ -137,3 +137,72 @@ def test_round_trip_property(lines, op, compress, seed):
     random.Random(seed).shuffle(order)
     pdf = build_pdf(lines, compress=compress, op=op, emit_order=order)
     assert extract_pdf_text(pdf) == "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# dict anchoring: the stream dict must be the one that OWNS the stream
+# keyword (backward balanced '<< >>' scan), never a span starting at some
+# earlier object's '<<'. Regression for the r06 advice: a /Length or filter
+# name in an EARLIER object must not mis-slice the payload or spuriously
+# raise. The extractor ignores xref, so prepending objects with stale
+# offsets is a valid classic-PDF-shaped probe.
+# ---------------------------------------------------------------------------
+
+def _pdf_with_prefix_objects(prefix_objs, lines, **kw):
+    base = build_pdf(lines, **kw)
+    head = b"%PDF-1.4\n"
+    out = bytearray(head)
+    for i, body in enumerate(prefix_objs):
+        out += f"{90 + i} 0 obj\n".encode("latin-1") + body + b"\nendobj\n"
+    return bytes(out) + base[len(head):]
+
+
+def test_length_in_earlier_object_does_not_misslice():
+    # old regex: dict_src spanned from the Catalog '<<' and picked THIS
+    # /Length 3, truncating the real content stream to 3 bytes
+    pdf = _pdf_with_prefix_objects([b"<< /MyMeta true /Length 3 >>"], LINES)
+    assert extract_pdf_text(pdf) == "\n".join(LINES)
+
+
+def test_filter_name_in_earlier_object_does_not_raise():
+    # a /DCTDecode NAME in an unrelated dict must not trip strict mode,
+    # and must not stop Flate decompression of the real stream
+    pdf = _pdf_with_prefix_objects(
+        [b"<< /Recipe /DCTDecode /Note (not a stream) >>"],
+        LINES,
+        compress=True,
+    )
+    assert extract_pdf_text(pdf) == "\n".join(LINES)
+
+
+def test_nested_dict_inside_stream_dict_balances():
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (hi) Tj ET"
+    obj = (
+        b"<< /DecodeParms << /Columns 4 >> /Length "
+        + str(len(content)).encode("latin-1")
+        + b" >>\nstream\n" + content + b"\nendstream"
+    )
+    pdf = b"%PDF-1.4\n9 0 obj\n" + obj + b"\nendobj\n"
+    assert extract_pdf_text(pdf) == "hi"
+
+
+def test_payload_bytes_are_not_rescanned_for_stream_heads():
+    # a payload containing the byte run '<< /Length .. >>\nstream\n' must
+    # be skipped by the /Length cursor, not treated as a phantom stream
+    fake = b"junk << /Length 99 >>\nstream\n more junk"
+    obj1 = (
+        b"<< /Length " + str(len(fake)).encode("latin-1")
+        + b" >>\nstream\n" + fake + b"\nendstream"
+    )
+    base = build_pdf(LINES)
+    pdf = b"%PDF-1.4\n8 0 obj\n" + obj1 + b"\nendobj\n" + base[len(b"%PDF-1.4\n"):]
+    assert extract_pdf_text(pdf) == "\n".join(LINES)
+
+
+def test_latin1_contract_is_explicit():
+    # <= U+00FF round-trips through every operator path; above raises the
+    # documented UnicodeEncodeError (callers guard: see q_pdf_extract)
+    for op in ("Tj", "TJ", "hex"):
+        assert extract_pdf_text(build_pdf(["caf\xe9 n\xb0 7"], op=op)) == "caf\xe9 n\xb0 7"
+    with pytest.raises(UnicodeEncodeError):
+        build_pdf(["price €5"])
