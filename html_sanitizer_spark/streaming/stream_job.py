@@ -57,6 +57,19 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence probe via the JVM Hadoop FileSystem (works
+    for hdfs://, s3a://, file:// alike — os.path would lie off-box).
+    Falls back to os.path for sessions without a JVM handle (spark-connect)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        return os.path.exists(path)
+
+
 def write_epoch(out: DataFrame, output_dir: str, epoch_id: int) -> None:
     """Idempotent epoch sink: a replayed microbatch overwrites exactly its
     own ``epoch=<id>`` directory (the foreachBatch exactly-once contract;
@@ -320,16 +333,31 @@ def stream_ingest_pipeline(
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
         hashed = batch_df.withColumn("text_hash", F.md5("text"))
-        from pyspark.errors import AnalysisException
 
-        try:
+        # The missing-index case (first-ever batch) is detected by an
+        # EXPLICIT path-existence probe, not by swallowing
+        # AnalysisException around the read: a blanket except also
+        # swallowed a MIS-SEEDED index (digests written at index_dir root
+        # without the epoch=<id> partition layout make the epoch filter
+        # raise), silently disabling dedup-vs-prior. Now a present-but-
+        # malformed index fails loudly with the expected layout named.
+        if _hadoop_path_exists(s, index_dir):
+            idx_df = s.read.parquet(index_dir)
+            missing = {"digest", "epoch"} - set(idx_df.columns)
+            if missing:
+                raise ValueError(
+                    f"digest index at {index_dir!r} is mis-seeded: columns "
+                    f"{sorted(missing)} absent (have {idx_df.columns}). "
+                    "Expected the epoch-partitioned layout "
+                    "index_dir/epoch=<id>/ with a 'digest' column — seed a "
+                    "pre-existing corpus index under epoch=-1."
+                )
             idx = (
-                s.read.parquet(index_dir)
-                .filter(F.col("epoch") < F.lit(epoch_id))
+                idx_df.filter(F.col("epoch") < F.lit(epoch_id))
                 .select(F.col("digest").alias("text_hash"))
             )
             fresh = hashed.join(idx, "text_hash", "left_anti")
-        except AnalysisException:  # first-ever batch: no index dir yet
+        else:  # first-ever batch: no index dir yet
             fresh = hashed
         w = Window.partitionBy("text_hash").orderBy("doc_id")
         first = (

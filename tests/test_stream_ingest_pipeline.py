@@ -123,3 +123,96 @@ def test_composed_ingest_differential_and_index_accretion(spark, tmp_path):
     # run 1 batch 2 (epoch 1) carries only the gamma digest: alpha was
     # suppressed by epoch 0's partition, proving within-run accretion
     assert len(by_epoch[1]) == 1
+
+
+def test_mis_seeded_index_fails_loud_not_silent(spark, tmp_path):
+    """A PRESENT index without the epoch=<id> partition layout used to be
+    swallowed by a blanket except AnalysisException (dedup silently
+    disabled, duplicates flowing to the sink); now it raises with the
+    expected layout named. Regression for the r06 advice item."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    in_dir, out_dir, idx_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "idx", "ck")
+    )
+    # mis-seed: digests at the index ROOT (no epoch=<id> partition)
+    seed = spark.createDataFrame(
+        [{"doc_id": 1000 + i, "text": t} for i, t in enumerate(SEED_TEXTS)]
+    )
+    write_digest_index(seed, idx_dir)
+
+    _write_feed(spark, in_dir, FILE1)
+    q = stream_ingest_pipeline(spark, in_dir, idx_dir, out_dir, ckpt)
+    with pytest.raises(StreamingQueryException, match="mis-seeded"):
+        q.awaitTermination(180)
+
+
+def test_missing_index_dir_still_means_first_batch(spark, tmp_path):
+    """The legitimate first-ever-batch case (no index dir at all) must
+    keep working without the old exception crutch."""
+    in_dir, out_dir, idx_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "idx", "ck")
+    )
+    _write_feed(spark, in_dir, FILE1)
+    q = stream_ingest_pipeline(spark, in_dir, idx_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {0, 1, 2}  # no seed index -> seeddoc one survives
+
+
+def test_mid_batch_crash_replay_is_exactly_once(spark, tmp_path, monkeypatch):
+    """Kill the job AFTER the output sink write but BEFORE the index
+    append (the worst replay window: output epoch partition exists, index
+    partition and checkpoint commit do not). On restart the uncommitted
+    batch replays under the SAME epoch id; the epoch=<id> overwrite must
+    absorb the partial attempt — final output and index byte-identical to
+    a never-crashed run (VERDICT r06 next-round #7)."""
+    from html_sanitizer_spark.streaming import stream_job
+
+    in_dir, out_dir, idx_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "idx", "ck")
+    )
+    seed = spark.createDataFrame(
+        [{"doc_id": 1000 + i, "text": t} for i, t in enumerate(SEED_TEXTS)]
+    )
+    write_digest_index(seed, f"{idx_dir}/epoch=-1")
+    _write_feed(spark, in_dir, FILE1)
+    _write_feed(spark, in_dir, FILE2)
+
+    real_write_epoch = stream_job.write_epoch
+    crashed = {"done": False}
+
+    def crash_after_sink(out, output_dir, epoch_id):
+        real_write_epoch(out, output_dir, epoch_id)  # sink write lands...
+        if not crashed["done"] and epoch_id == 1:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between sink and index")
+
+    monkeypatch.setattr(stream_job, "write_epoch", crash_after_sink)
+    q = stream_ingest_pipeline(spark, in_dir, idx_dir, out_dir, ckpt)
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass  # the injected crash kills the query mid-batch
+    assert crashed["done"]
+    # crash window state: output epoch=1 written, index epoch=1 absent
+    import os
+
+    assert os.path.exists(os.path.join(out_dir, "epoch=1"))
+    assert not os.path.exists(os.path.join(idx_dir, "epoch=1"))
+
+    monkeypatch.setattr(stream_job, "write_epoch", real_write_epoch)
+    q = stream_ingest_pipeline(spark, in_dir, idx_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["text_hash"], r["clean"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(got) == {0, 1, 11}  # same survivors as a clean run
+    # index accreted each survivor digest exactly once across partitions
+    idx = spark.read.parquet(idx_dir).filter(F.col("epoch") >= 0).collect()
+    assert sorted(r["digest"] for r in idx) == sorted(
+        {h for h, _ in got.values()}
+    )
