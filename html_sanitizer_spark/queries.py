@@ -2806,7 +2806,7 @@ def q_bpe_merges(spark, sf_dir, k: int = 5):
     and a 1-row TakeOrderedAndProject collected to the driver (the same
     bounded-collect contract as the CC convergence probe). The k rounds
     are a driver loop over lazily-chained vocab-sized plans."""
-    merges, _ = _bpe_learn(spark, sf_dir, k)
+    merges, _ = _bpe_learn(spark, sf_dir, k, materialize_vocab=False)
     return spark.createDataFrame(
         merges,
         "step int, left_sym string, right_sym string, merged string, "
@@ -2814,11 +2814,26 @@ def q_bpe_merges(spark, sf_dir, k: int = 5):
     )
 
 
-def _bpe_learn(spark, sf_dir, k: int):
+def _bpe_learn(spark, sf_dir, k: int, *, materialize_vocab: bool = True):
     """Shared BPE learner: returns (merge table rows, final vocabulary
     frame (word, freq, sym) with all k merges applied). Single-sourced so
     q_bpe_merges (the merge artifact) and q_bpe_encode (the apply stage)
-    cannot drift."""
+    cannot drift.
+
+    Scan discipline (VERDICT r06 #2): the corpus-sized word-count frame
+    is PERSISTED and fully materialized by one count() before the merge
+    loop — each round's top-pair collect then compiles a plan rooted at
+    the InMemoryRelation, so the corpus scan + word-count shuffle run
+    exactly ONCE for all k rounds (previously each ``limit(1).collect()``
+    re-executed them: k+1 corpus scans). Enforced, not asserted:
+    tests/test_new_ops_semantics.py gates actual Hadoop-FS bytesRead
+    during the learn loop at ~one scan. The k per-round plans stack
+    vocabulary-sized literal replaces on the cache (depth k, trivial).
+    The returned vocab frame is eagerly localCheckpoint'ed (it is
+    vocabulary-sized) so the corpus cache can be released before return
+    without the caller's later actions recomputing the corpus chain;
+    ``materialize_vocab=False`` (q_bpe_merges, which discards the vocab)
+    skips that final job."""
     d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
     words = (
         d.select(
@@ -2831,7 +2846,9 @@ def _bpe_learn(spark, sf_dir, k: int):
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
     )
+    words.count()  # materialize EVERY partition (a limit-probe would not)
     repr_df = words.select(
         "word",
         "freq",
@@ -2875,6 +2892,9 @@ def _bpe_learn(spark, sf_dir, k: int):
                 )
             ).alias("sym"),
         )
+    if materialize_vocab:
+        repr_df = repr_df.localCheckpoint()  # eager; vocabulary-sized
+    words.unpersist()
     return merges, repr_df
 
 
@@ -2942,6 +2962,13 @@ r0 AS (SELECT word, freq,
               trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym
        FROM words)"""
     for i in range(k):
+        # r{i+1} LEFT JOINs its round's top pair with a keep-previous
+        # fallback: when the merge pairs run DRY before round k (every
+        # word fused to one symbol), t{i} is empty and Spark's learner
+        # breaks keeping the last vocabulary — a CROSS JOIN here would
+        # instead collapse r{i+1} to zero rows and return an empty vocab
+        # (r06 advice #3; unreachable on the synthetic corpus, pinned on
+        # a degenerate one in test_new_ops_semantics).
         sql += f""",
 p{i} AS (
   SELECT w1, w2, sum(freq)::BIGINT AS c FROM (
@@ -2953,10 +2980,12 @@ t{i} AS (SELECT {i} AS step, w1, w2, c FROM p{i}
          ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
 r{i + 1} AS (
   SELECT word, freq,
-         trim(replace(' ' || sym || ' ',
-                      ' ' || t{i}.w1 || ' ' || t{i}.w2 || ' ',
-                      ' ' || t{i}.w1 || t{i}.w2 || ' ')) AS sym
-  FROM r{i} CROSS JOIN t{i})"""
+         CASE WHEN t{i}.w1 IS NULL THEN sym
+              ELSE trim(replace(' ' || sym || ' ',
+                                ' ' || t{i}.w1 || ' ' || t{i}.w2 || ' ',
+                                ' ' || t{i}.w1 || t{i}.w2 || ' '))
+         END AS sym
+  FROM r{i} LEFT JOIN t{i} ON TRUE)"""
     return sql
 
 

@@ -725,3 +725,80 @@ def test_jl_projection_matches_python_and_preserves_distances(spark):
     assert all(0.2 < r < 3.0 for r in ratios), ratios
     mean = sum(ratios) / len(ratios)
     assert 0.7 < mean < 1.3, mean
+
+
+def test_bpe_runs_dry_keeps_last_vocabulary_both_engines(spark):
+    """Degenerate corpus whose merge pairs run DRY before k rounds: one
+    distinct word 'ab' fuses in round 0, leaving no adjacent pairs.
+    Spark's learner breaks keeping the last vocabulary; the generated
+    oracle must mirror that (LEFT JOIN keep-previous fallback — a CROSS
+    JOIN against the empty t{i} used to collapse the vocab CTE to zero
+    rows). r06 advice #3 pin."""
+    import tempfile
+
+    import duckdb
+
+    from html_sanitizer_spark.queries import (
+        _bpe_encode_oracle_sql,
+        _bpe_oracle_sql,
+        q_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "ab ab"), (2, "ab")],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{td}/documents.parquet/*.parquet')"
+        )
+
+        merges = q_bpe_merges(spark, td, k=5).collect()
+        assert [(r.step, r.left_sym, r.right_sym, r.merged,
+                 r.weighted_count) for r in merges] == [(0, "a", "b", "ab", 6)]
+        o_merges = con.execute(_bpe_oracle_sql(5)).fetchall()
+        assert o_merges == [(0, "a", "b", "ab", 6)]
+
+        enc = {r.doc_id: (r.n_words, r.n_subwords, r.avg_subwords)
+               for r in q_bpe_encode(spark, td, k=5).collect()}
+        o_enc = {r[0]: (r[1], r[2], r[3])
+                 for r in con.execute(_bpe_encode_oracle_sql(5)).fetchall()}
+        # fully-fused vocab: every word is ONE subword in both engines
+        assert enc == o_enc == {0: (3, 3, 1.0), 1: (2, 2, 1.0), 2: (1, 1, 1.0)}
+
+
+def _file_scheme_bytes_read(spark) -> int:
+    """Actual bytes read through the Hadoop file:// FileSystem — an
+    EXECUTION-level counter (JVM-global, so tests measure deltas)."""
+    gs = spark._jvm.org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics()
+    st = gs.get("file")
+    return 0 if st is None else st.getLong("bytesRead")
+
+
+def test_bpe_learn_scans_corpus_once(spark):
+    """The 'corpus scanned ONCE' docstring claim is enforced at the
+    bytes-read level (VERDICT r06 #2): k=5 merge rounds must read at most
+    ~1.6x the file bytes of the k=0 learner (one word-count scan + footer
+    noise). Before the words persist landed, every round's top-pair
+    collect re-executed the corpus scan: ~6x."""
+    from html_sanitizer_spark.queries import _bpe_learn
+
+    spark.catalog.clearCache()  # an InMemoryRelation from an earlier test
+    # would serve the scan and zero out the baseline
+
+    b0 = _file_scheme_bytes_read(spark)
+    _bpe_learn(spark, SF, 0, materialize_vocab=False)
+    baseline = _file_scheme_bytes_read(spark) - b0
+    assert baseline > 0
+
+    b1 = _file_scheme_bytes_read(spark)
+    merges, _ = _bpe_learn(spark, SF, 5, materialize_vocab=False)
+    five_rounds = _file_scheme_bytes_read(spark) - b1
+    assert len(merges) == 5
+    assert five_rounds <= 1.6 * baseline, (
+        f"k=5 learn read {five_rounds}B vs single-scan {baseline}B — "
+        "the corpus word-count is re-executing per merge round"
+    )
