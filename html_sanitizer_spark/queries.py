@@ -4393,6 +4393,9 @@ _SEM_SCALE = 1_000_000
 _SEM_OFFSET = 4_000_000  # keeps every quantized coordinate positive
 _SEM_SEED_MOD = 61
 _SEM_TAU = 0.35
+_SEM_BLOCK_CAP = 1000  # oversize-cluster prune guard (embedding_neardup's
+# block-cap convention): clusters larger than this are deterministically
+# sub-blocked before the pairwise prune, bounding pairs at O(N * cap)
 
 
 def _sem_quant(col):
@@ -4449,17 +4452,26 @@ def q_semantic_dedup(spark, sf_dir):
     against K centroid literals (zero shuffle — the ivf_topk pattern);
     each Lloyd update is ONE groupBy(K) with 64 map-side partial sums
     plus a <=K-row driver collect (the bounded-scalar contract, same as
-    the IVF centroid set); the prune self-join is cluster-blocked. At
-    extreme cluster sizes two guards apply: sum(qv_i) nears BIGINT range
-    around 10^12 members/cluster (sum offset-CENTERED deltas or DECIMAL
-    partials instead), and a hot cluster makes the prune quadratic —
-    production re-clusters oversize cells (K grows with the corpus)
-    exactly as SemDeDup prescribes, rather than pairing them directly."""
+    the IVF centroid set). The quantized/unit frame is PERSISTED across
+    the seed collect + Lloyd collects (cache-filled by the first action;
+    released before return, so consumption costs one further scan — 2
+    embedding scans total instead of iters+2). The prune self-join is
+    cluster-blocked AND capped: a cluster larger than _SEM_BLOCK_CAP is
+    deterministically sub-blocked by ``vec_id % ceil(n_cluster / cap)``
+    (map-side after the broadcast size join — no window shuffle, so the
+    hot cluster never serializes through one task), bounding pairs at
+    O(N * cap) like the minhash/simhash bucket caps and the
+    embedding_neardup block cap; cross-block near-dups are the
+    documented recall trade (production additionally grows K with the
+    corpus, as SemDeDup prescribes — the cap is the enforced backstop,
+    r06 VERDICT #3). Remaining extreme-scale guard: sum(qv_i) nears
+    BIGINT range around 10^12 members/cluster (sum offset-CENTERED
+    deltas or DECIMAL partials instead)."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         _sem_quant(F.col("embedding")).alias("qv"),
         _unit(F.col("embedding")).alias("unit"),
-    )
+    ).persist()  # the seed TakeOrdered computes every partition -> full fill
     seed_rows = (
         e.filter(F.col("vec_id") % _SEM_SEED_MOD == 0)
         .orderBy("vec_id")
@@ -4489,34 +4501,39 @@ def q_semantic_dedup(spark, sf_dir):
         "vec_id", "unit", _sem_assign(F.col("qv"), cents).alias("cluster")
     )
     sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_cluster"))
-    a = final.select(
+    blocked = final.join(F.broadcast(sizes), "cluster").withColumn(
+        "blk",
+        F.col("vec_id")
+        % F.expr(f"(n_cluster + {_SEM_BLOCK_CAP - 1}) div {_SEM_BLOCK_CAP}"),
+    )
+    a = blocked.select(
         F.col("cluster").alias("cl"),
+        F.col("blk").alias("bk"),
         F.col("vec_id").alias("va"),
         F.col("unit").alias("ua"),
     )
-    b = final.select(
+    b = blocked.select(
         F.col("cluster").alias("cl"),
+        F.col("blk").alias("bk"),
         F.col("vec_id").alias("vb"),
         F.col("unit").alias("ub"),
     )
     removed = (
-        a.join(b, "cl")
+        a.join(b, ["cl", "bk"])
         .filter(F.col("va") < F.col("vb"))
         .filter(F.round(_dot(F.col("ua"), F.col("ub")), 4) >= _SEM_TAU)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
         .withColumn("rm", F.lit(1))
     )
-    return (
-        final.join(F.broadcast(sizes), "cluster")
-        .join(removed, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster",
-            "n_cluster",
-            F.coalesce(F.col("rm"), F.lit(0)).cast("int").alias("is_removed"),
-        )
+    out = blocked.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "n_cluster",
+        F.coalesce(F.col("rm"), F.lit(0)).cast("int").alias("is_removed"),
     )
+    e.unpersist()  # collects are done; consumption re-scans parquet once
+    return out
 
 
 def _semantic_dedup_ctes() -> str:
@@ -4573,10 +4590,15 @@ af AS (
              c.cid ASC) AS rn
     FROM e CROSS JOIN c{_SEM_ITERS} c) WHERE rn = 1),
 sizes AS (SELECT cid, count(*)::BIGINT AS n_cluster FROM af GROUP BY cid),
-eu AS (SELECT a.vec_id, a.cid, e.unit FROM af a JOIN e USING (vec_id)),
+eu AS (
+  SELECT a.vec_id, a.cid, e.unit,
+         a.vec_id % ((s.n_cluster + {_SEM_BLOCK_CAP - 1}) // {_SEM_BLOCK_CAP})
+           AS blk
+  FROM af a JOIN e USING (vec_id) JOIN sizes s ON s.cid = a.cid),
 rm AS (
   SELECT DISTINCT b.vec_id
-  FROM eu a JOIN eu b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM eu a JOIN eu b
+    ON a.cid = b.cid AND a.blk = b.blk AND a.vec_id < b.vec_id
   WHERE round(list_sum(list_transform(range(1, {dim + 1}),
           i -> a.unit[i] * b.unit[i])), 4) >= {tau})"""
     return sql

@@ -802,3 +802,54 @@ def test_bpe_learn_scans_corpus_once(spark):
         f"k=5 learn read {five_rounds}B vs single-scan {baseline}B — "
         "the corpus word-count is re-executing per merge round"
     )
+
+
+def test_semantic_dedup_hot_cluster_cap_binds(spark):
+    """Designed hot cluster (VERDICT r06 #3): 1200 near-identical vectors
+    all land in ONE k-means cluster, exceeding _SEM_BLOCK_CAP=1000. The
+    deterministic vec_id % ceil(n/cap) sub-block must bound the prune:
+    2 blocks -> keep-first per block -> exactly vec_ids 0 and 1 survive
+    (without the cap a single keeper would remain — and the pair count
+    would be O(n^2)). The DuckDB oracle must mirror the cap exactly."""
+    import tempfile
+
+    import duckdb
+
+    from html_sanitizer_spark.queries import REGISTRY, _SEM_BLOCK_CAP
+
+    n = 1200
+    assert n > _SEM_BLOCK_CAP  # the guard must actually bind
+    rows = [
+        # IDENTICAL vectors (the wiggle varies only by dimension, not by
+        # vec_id): duplicate seeds tie every assignment to the lowest
+        # cid, so all n land in one cluster; every pairwise cosine is 1
+        (i, [0.5 + 0.000001 * (j % 3) for j in range(64)], i % 5)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    fn, sql = REGISTRY["semantic_dedup"]
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/embeddings.parquet")
+        out = fn(spark, td).collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{td}/embeddings.parquet/*.parquet')"
+        )
+        oracle = con.execute(sql).fetchall()
+
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == n
+    # one hot cluster holding everything
+    assert {r.n_cluster for r in out} == {n}
+    # cap semantics: ceil(1200/1000)=2 blocks keyed by vec_id%2 ->
+    # keep-first PER BLOCK: survivors are the min even and min odd ids
+    survivors = sorted(v for v, r in by_id.items() if r.is_removed == 0)
+    assert survivors == [0, 1]
+    # engine parity incl. the cap (same rows, same flags)
+    o = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    assert o == {
+        r.vec_id: (r.cluster, r.n_cluster, r.is_removed) for r in out
+    }
