@@ -141,13 +141,16 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16, sample_mod: int = 97):
     capped at ``n_cells``), collected to the driver — the k-means-centroid
     pattern: the set is tiny by construction, and shipping it as literal
     arrays lets assignment run as a map-side expression."""
-    return (
+    from .bounded import bounded_collect
+
+    return bounded_collect(
         emb.filter(F.col("vec_id") % sample_mod == 0)
         .orderBy("vec_id")
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"),
-                unit_vec(F.col("embedding")).alias("cent"))
-        .collect()
+                unit_vec(F.col("embedding")).alias("cent")),
+        n_cells,
+        "IVF coarse centroids",
     )
 
 

@@ -162,11 +162,14 @@ def _probe_max_spans(df: DataFrame, n_rows: int = _AUTO_PROBE_ROWS) -> int:
     n_rows, never a full pass; VERDICT r01 #7). At 100 TB prefer passing
     ``max_spans_hint`` from table statistics or the previous run's lineage
     rollup instead of probing at all."""
-    row = (
+    from ..functions.bounded import bounded_collect
+
+    row = bounded_collect(
         df.select(F.size("spans").alias("n"))
         .limit(n_rows)
-        .agg(F.max("n").alias("m"))
-        .collect()
+        .agg(F.max("n").alias("m")),
+        1,
+        "explode-auto skew probe",
     )
     return row[0]["m"] or 0
 

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .functions.bounded import bounded_collect
+
 __all__ = [
     "REGISTRY",
     "spark_queries",
@@ -669,7 +671,9 @@ def _neardup_labels(
     # silently recompute the rest through the whole upstream chain
     # (measured r03: round times grew 4.7s -> 11.3s -> 82.5s).
     as_dec = F.sum(F.col("root").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(as_dec).collect()[0]["s"]
+    prev_sum = bounded_collect(
+        labels.agg(as_dec), 1, "CC convergence probe"
+    )[0]["s"]
     for i in range(max_rounds):
         prop = edges.join(
             labels, edges["doc_a"] == labels["doc"]
@@ -685,7 +689,9 @@ def _neardup_labels(
         else:
             new_labels = new_labels.persist()
             new_unpersistable = True
-        new_sum = new_labels.agg(as_dec).collect()[0]["s"]
+        new_sum = bounded_collect(
+            new_labels.agg(as_dec), 1, "CC convergence probe"
+        )[0]["s"]
         if labels_unpersistable:
             labels.unpersist()
         labels, labels_unpersistable = new_labels, new_unpersistable
@@ -2874,9 +2880,11 @@ def _bpe_learn(spark, sf_dir, k: int, *, materialize_vocab: bool = True):
             )
             .agg(F.sum("freq").alias("c"))
         )
-        top = pairs.orderBy(
-            F.desc("c"), F.asc("w1"), F.asc("w2")
-        ).limit(1).collect()
+        top = bounded_collect(
+            pairs.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2")).limit(1),
+            1,
+            "BPE top-pair pick",
+        )
         if not top:
             break
         w1, w2, c = top[0]["w1"], top[0]["w2"], top[0]["c"]
@@ -4472,12 +4480,13 @@ def q_semantic_dedup(spark, sf_dir):
         _sem_quant(F.col("embedding")).alias("qv"),
         _unit(F.col("embedding")).alias("unit"),
     ).persist()  # the seed TakeOrdered computes every partition -> full fill
-    seed_rows = (
+    seed_rows = bounded_collect(
         e.filter(F.col("vec_id") % _SEM_SEED_MOD == 0)
         .orderBy("vec_id")
         .limit(_SEM_K)
-        .select("qv")
-        .collect()
+        .select("qv"),
+        _SEM_K,
+        "SemDeDup centroid seeds",
     )
     cents = [(i, [int(v) for v in r["qv"]]) for i, r in enumerate(seed_rows)]
     for _ in range(_SEM_ITERS):
@@ -4493,7 +4502,7 @@ def q_semantic_dedup(spark, sf_dir):
             int(r["cid"]): [
                 int(r[f"s{i}"]) // int(r["n"]) for i in range(_SEM_DIM)
             ]
-            for r in sums.collect()
+            for r in bounded_collect(sums, _SEM_K, "SemDeDup Lloyd update")
         }
         # empty clusters keep their previous centroid (deterministic)
         cents = [(cid, means.get(cid, cv)) for cid, cv in cents]

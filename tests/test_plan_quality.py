@@ -684,3 +684,43 @@ def test_jl_projection_zero_shuffle_map(spark):
     assert "hashpartitioning" not in plan.lower(), plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_bounded_collect_enforces_declared_bound(spark):
+    """The bounded-collect contract is one enforced invariant, not five
+    docstring promises (VERDICT r06 #4): overflow raises, naming the
+    site; within-bound returns the rows unchanged."""
+    import pytest
+
+    from html_sanitizer_spark.functions.bounded import bounded_collect
+
+    df = spark.range(5)
+    assert len(bounded_collect(df, 5, "probe")) == 5
+    with pytest.raises(RuntimeError, match="probe returned 5 rows"):
+        bounded_collect(df, 4, "probe")
+
+
+def test_every_package_collect_goes_through_bounded_collect():
+    """AST gate: no bare ``.collect()`` call anywhere in the package —
+    every driver-side materialization must declare its bound via
+    bounded_collect (functions/bounded.py itself is the one allowed
+    site). Docstrings/comments don't count; real call sites do."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path("html_sanitizer_spark")
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        if path.name == "bounded.py":
+            continue
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"
+            ):
+                offenders.append(f"{path}:{node.lineno}")
+    assert offenders == [], (
+        "bare .collect() outside bounded_collect: " + ", ".join(offenders)
+    )
