@@ -169,7 +169,9 @@ def test_dedup_tail_never_forces_per_document_broadcasts(spark):
         spark, lambda: q_decontaminate(spark, SF)
     )
 
-    # dedup_apply shape: corpus anti-join against the removal set
+    # dedup_apply shape (VERDICT r06 #5 fused form): ONE left join of the
+    # corpus against the removal set feeding ONE aggregate — all four
+    # outputs from a single corpus scan
     def apply_shape():
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         pairs = spark.createDataFrame(
@@ -178,11 +180,24 @@ def test_dedup_tail_never_forces_per_document_broadcasts(spark):
         removed = (
             _neardup_labels(spark, SF, pairs=pairs)
             .filter(F.col("doc") != F.col("root"))
-            .select(F.col("doc").alias("doc_id"))
+            .select(F.col("doc").alias("doc_id"), F.lit(1).alias("_rm"))
         )
-        return docs.join(removed, "doc_id", "left_anti")
+        return docs.join(removed, "doc_id", "left").agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.count("_rm").alias("n_removed"),
+            F.sum(F.when(F.col("_rm").isNull(), 1).otherwise(0)).alias(
+                "n_survivors"
+            ),
+            F.sum(F.when(F.col("_rm").isNull(), F.col("n_chars"))).alias(
+                "survivor_chars"
+            ),
+        )
 
-    assert "BroadcastExchange" not in _no_hint_plan(spark, apply_shape)
+    apply_plan = _no_hint_plan(spark, apply_shape)
+    assert "BroadcastExchange" not in apply_plan
+    # single-pass gate: the documents table is scanned exactly once (the
+    # pre-fusion form scanned it twice and cross-joined three 1-row frames)
+    assert apply_plan.count("documents.parquet") == 1, apply_plan
 
 
 def test_no_rdd_conversion_in_query_build(spark, monkeypatch):
