@@ -33,7 +33,10 @@ import re
 import sys
 
 from html_sanitizer_spark.engine.core import sanitize
-from html_sanitizer_spark.engine.extract import extract_main_blocks
+from html_sanitizer_spark.engine.extract import (
+    extract_main,
+    extract_main_blocks,
+)
 from html_sanitizer_spark.engine.settings import Settings
 
 CLASSES: dict[str, list[str]] = {
@@ -101,6 +104,28 @@ CLASSES: dict[str, list[str]] = {
         "title=a&amp;b>", "value=x&notasemi>", "&", "&amp;", "&#38;",
         "='y&z'>", "=q&#38;r>", "href='/x?a=1&b=2'>", ">", "</a>",
     ],
+    # r07 10th class (VERDICT r06 #6): the main_content extractor's
+    # kill-list / atomic-block boundary. Mixes kill-list tags (whose
+    # TAILS must be kept while subtrees die — including RAWTEXT
+    # containers like script/style whose payload swallows later "tags"),
+    # block tags that flip atomicity when they gain/lose block children,
+    # li/td (deliberately NOT block tags), anchors with varying text mass
+    # around the 0.5 link-density boundary, and misnesting that the
+    # recovery parser repairs BEFORE scoring (so a block's subtree isn't
+    # what the raw bytes suggest). Unbalanced fragments on purpose: a
+    # kill-tag opened and never closed adopts everything after it.
+    "extractor_boundary": [
+        "<nav>", "</nav>", "<header>", "</header>", "<footer>",
+        "</footer>", "<aside>", "</aside>", "<form>", "</form>",
+        "<template>", "</template>", "<script>", "</script>",
+        "<style>", "</style>", "<button>", "</button>",
+        "<div>", "</div>", "<section>", "</section>", "<p>", "</p>",
+        "<ul>", "</ul>", "<li>", "</li>", "<table>", "</table>",
+        "<td>", "</td>", "<figure>", "</figure>", "<blockquote>",
+        "</blockquote>", "<h3>", "</h3>", "<main>", "</main>",
+        "<a href='/x'>", "</a>", "link ", "longer anchor text here ",
+        "body text ", "tail after kill ", "x", " ", "＜nav＞",
+    ],
     "nfkc_smuggle": [
         "＜", "＞", "﹤", "﹥", "＆", "ｓcript", "ａ", "ｐ", "<", ">", "&",
         "amp;", "#60;", "lt;", "<p>", "</p>", "<a href='/x'>", "</a>",
@@ -115,6 +140,7 @@ _CONFIGS = [
     Settings({"autolink": True, "add_nofollow": True}),
 ]
 _TAG_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9]*)")
+_WS_RUN_RE = re.compile(r"\s+")
 _CONTROL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
 # javascript: is only a violation as the VALUE OF A URL ATTRIBUTE
 # (href/src). Occurrences as escaped text content, or as string DATA
@@ -139,8 +165,16 @@ def _check_one(args: tuple[str, int, int]) -> tuple[str, str] | None:
     s = _CONFIGS[seed % len(_CONFIGS)]
     try:
         kept, dropped = extract_main_blocks(html)
-        if dropped < 0 or any(k is None or k != k.strip() for k in kept):
+        # E1 invariants: totality over arbitrary soup; every kept block is
+        # non-empty, whitespace-NORMALIZED text (stripped, no internal
+        # runs); extract_main is exactly the separator-join of the blocks
+        if dropped < 0 or any(
+            k is None or not k or k != _WS_RUN_RE.sub(" ", k).strip()
+            for k in kept
+        ):
             return (html, f"extractor contract: kept={kept!r} dropped={dropped}")
+        if extract_main(html) != "\n".join(kept):
+            return (html, f"extract_main != join(blocks): kept={kept!r}")
         outs = [sanitize(html, s)]
         for _ in range(11):
             nxt = sanitize(outs[-1], s)
