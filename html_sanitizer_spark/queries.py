@@ -19,6 +19,7 @@ backreferences are ``\\1`` (Java: ``$1``).
 from __future__ import annotations
 
 import contextlib
+import hashlib
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1410,8 +1411,10 @@ def q_quality_score(spark, sf_dir):
     )
 
 
-_ORACLE_QUALITY = f"""
-WITH f AS (
+# CTE body shared by the quality_score oracle and the quality_tiers
+# oracle (single-sourced so the tier cutoffs provably bucket the SAME
+# score the standalone operator reports)
+_QUALITY_CTES = f"""qf AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
          round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
@@ -1419,11 +1422,17 @@ WITH f AS (
          round(len(list_filter(string_split(text, ' '),
                                t -> list_contains({_STOP_SQL}, t)))
                / len(string_split(text, ' ')), 4) AS stopword_ratio
-  FROM documents WHERE n_chars > 0)
-SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
-       round(stopword_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.4
-             + (1.0 - punct_ratio) * 0.2, 4) AS quality_score
-FROM f
+  FROM documents WHERE n_chars > 0),
+qscore AS (
+  SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+         round(stopword_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.4
+               + (1.0 - punct_ratio) * 0.2, 4) AS quality_score
+  FROM qf)"""
+
+_ORACLE_QUALITY = f"""
+WITH {_QUALITY_CTES}
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, quality_score
+FROM qscore
 """
 
 
@@ -5542,6 +5551,374 @@ SELECT vec_id, dim::BIGINT AS dim, comp FROM proj
 _ORACLE_JL = _jl_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# quality-tier extraction (histogram thresholds, no global sort)
+# --------------------------------------------------------------------------
+
+# cumulative-from-top budgets: tier 0 = best ~20%, tiers 0+1 = best ~50%
+# (integer floor division keeps both engines bit-identical)
+_TIER_BUDGET_DIVS = (5, 2)
+# the quality score has a 4-decimal grain in [0, 1], so its scaled-integer
+# key domain is <= 10001 distinct values AT ANY CORPUS SIZE — that bound,
+# not the corpus, is what makes the histogram driver-collectable
+_TIER_KEY_DOMAIN = 10_001
+
+
+def q_quality_tiers(spark, sf_dir):
+    """Tier extraction: bucket every document into quality tiers (0 =
+    head ~20%, 1 = next ~30%, 2 = tail) by GLOBAL score quantiles —
+    the standard corpus-curation move (quality-tiered sampling weights,
+    CCNet's perplexity terciles are the public precedent).
+
+    The scalable shape: global quantiles WITHOUT a global sort. The
+    score is quantized to its own 4-decimal grain (an exact BIGINT key
+    with a <= 10001-value domain), ONE map-side projection + ONE
+    domain-bounded groupBy builds the score histogram, the driver folds
+    the histogram into two threshold keys (bounded_collect, bound =
+    domain size — corpus-independent), and tier assignment goes back as
+    a map-side CASE over literals. Two cheap passes, zero sorts, zero
+    corpus-sized shuffles; the classic mistake this avoids is
+    ntile()/percent_rank() over an unpartitioned window — a single-task
+    global sort at 100 TB.
+
+    Threshold rule (deterministic under ties): t_k = the smallest key
+    whose from-the-top cumulative count stays within budget N // div —
+    every doc with key >= t_k is in tier <= k; a tie-block that would
+    overflow the budget falls entirely into the next tier. Scores are
+    single-sourced from q_quality_score on BOTH engines."""
+    scored = q_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 10000, 0)
+        .cast("long")
+        .alias("quality_key"),
+    )
+    hist = scored.groupBy("quality_key").agg(F.count(F.lit(1)).alias("c"))
+    rows = bounded_collect(
+        hist, _TIER_KEY_DOMAIN, "quality-tier score histogram"
+    )
+    n = sum(r["c"] for r in rows)
+    thresholds = []
+    for div in _TIER_BUDGET_DIVS:
+        budget, cum, t = n // div, 0, None
+        for r in sorted(rows, key=lambda r: -r["quality_key"]):
+            cum += r["c"]
+            if cum > budget:
+                break
+            t = r["quality_key"]
+        thresholds.append(t)
+    t1, t2 = thresholds
+    tier = F.lit(2)
+    if t2 is not None:
+        tier = F.when(F.col("quality_key") >= F.lit(t2), F.lit(1)).otherwise(tier)
+    if t1 is not None:
+        tier = F.when(F.col("quality_key") >= F.lit(t1), F.lit(0)).otherwise(tier)
+    return scored.select(
+        "doc_id", "quality_key", tier.cast("int").alias("tier")
+    )
+
+
+_ORACLE_QUALITY_TIERS = f"""
+WITH {_QUALITY_CTES},
+k AS (
+  SELECT doc_id, round(quality_score * 10000)::BIGINT AS quality_key
+  FROM qscore),
+h AS (SELECT quality_key, count(*)::BIGINT AS c FROM k GROUP BY quality_key),
+cum AS (
+  SELECT quality_key,
+         sum(c) OVER (ORDER BY quality_key DESC)::BIGINT AS cum_top
+  FROM h),
+tot AS (SELECT count(*)::BIGINT AS n FROM k),
+th AS (
+  SELECT
+    min(CASE WHEN cum_top <= (SELECT n FROM tot) // {_TIER_BUDGET_DIVS[0]}
+             THEN quality_key END) AS t1,
+    min(CASE WHEN cum_top <= (SELECT n FROM tot) // {_TIER_BUDGET_DIVS[1]}
+             THEN quality_key END) AS t2
+  FROM cum)
+SELECT doc_id, quality_key,
+       (CASE WHEN t1 IS NOT NULL AND quality_key >= t1 THEN 0
+             WHEN t2 IS NOT NULL AND quality_key >= t2 THEN 1
+             ELSE 2 END)::INT AS tier
+FROM k CROSS JOIN th
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, public method)
+# --------------------------------------------------------------------------
+
+def q_gopher_filters(spark, sf_dir):
+    """Gopher document-quality rule battery (Rae et al. 2021 §A1.1, the
+    public MassiveText filters; the doc-level complement of the
+    line-level c4_filters): word-count bounds, mean-word-length band
+    [3, 10], symbol-to-word ratio <= 0.1 (#/ellipsis), fraction of words
+    with an alphabetic character >= 0.8, and >= 2 distinct stopwords
+    (the repo's stopword list).
+
+    The synthetic corpus is uniformly clean prose, so each rule is made
+    to BIND on a designed doc subset (the c4_filters / line_dedup
+    construction precedent), with injection sizes PROPORTIONAL to the
+    doc's own word count so the rule fires at every scale factor:
+    doc_id%7 appends ~n/5 '###' words (symbol ratio ~1/6 > 0.1),
+    doc_id%11 appends 3n single-char words (mean length < 3),
+    doc_id%13 appends ~n/3 digit-only words (alpha fraction 0.75 < 0.8);
+    the minimum-word-count rule binds organically on short documents.
+    Thresholds compare the ROUNDED ratios (the lm_bigram_score grain
+    convention, so the keep bit can never straddle an engine's 15th
+    decimal).
+
+    100 TB shape: the whole battery is ONE map-side projection over the
+    scan — array builds, filters, and scalar flags; zero joins, zero
+    shuffles. Like C4, it composes in FRONT of dedup (cheap map rules
+    first, pair-generating stages after)."""
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    )
+    w0 = F.split(F.trim(F.col("text")), " ")
+    n0 = F.size(w0)
+    empty = F.array().cast("array<string>")
+    w = F.concat(
+        w0,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array_repeat(F.lit("###"), (F.floor(n0 / 5) + 1).cast("int")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.array_repeat(F.lit("a"), (n0 * 3).cast("int")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.array_repeat(F.lit("12345"), (F.floor(n0 / 3) + 1).cast("int")),
+        ).otherwise(empty),
+    )
+    base = d.select("doc_id", w.alias("w"))
+    n_words = F.size("w").cast("long")
+    chars = F.aggregate(
+        F.col("w"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.round(chars / n_words, 4)
+    n_sym = F.size(
+        F.filter(F.col("w"), lambda t: t.contains("#") | t.contains("..."))
+    )
+    sym_ratio = F.round(n_sym / n_words, 4)
+    n_alpha = F.size(F.filter(F.col("w"), lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha / n_words, 4)
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(
+                F.col("w"),
+                lambda t: F.array_contains(F.expr(_STOP_SPARK), t),
+            )
+        )
+    )
+    out = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("int").alias("n_stop_types"),
+    )
+    keep = (
+        (F.col("n_words") >= 30)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("n_stop_types") >= 2)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+_ORACLE_GOPHER = f"""
+WITH gbase AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w0
+  FROM documents WHERE len(trim(text)) > 0),
+gw AS (
+  SELECT doc_id,
+         list_concat(list_concat(list_concat(w0,
+           CASE WHEN doc_id % 7 = 0
+                THEN list_transform(range(0, len(w0) // 5 + 1), x -> '###')
+                ELSE [] END),
+           CASE WHEN doc_id % 11 = 0
+                THEN list_transform(range(0, len(w0) * 3), x -> 'a')
+                ELSE [] END),
+           CASE WHEN doc_id % 13 = 0
+                THEN list_transform(range(0, len(w0) // 3 + 1), x -> '12345')
+                ELSE [] END) AS w
+  FROM gbase),
+gfeat AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS n_words,
+         round(list_sum(list_transform(w, t -> len(t))) / len(w), 4)
+           AS mean_word_len,
+         round(len(list_filter(w, t -> contains(t, '#')
+                                       OR contains(t, '...'))) / len(w), 4)
+           AS symbol_ratio,
+         round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+               / len(w), 4) AS alpha_frac,
+         len(list_distinct(list_filter(w,
+               t -> list_contains({_STOP_SQL}, t))))::INT AS n_stop_types
+  FROM gw)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       n_stop_types,
+       (CASE WHEN n_words >= 30 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+              AND n_stop_types >= 2
+             THEN 1 ELSE 0 END)::INT AS keep
+FROM gfeat
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic training-order shuffle (shard-local, no global sort)
+# --------------------------------------------------------------------------
+
+_SHUF_SEED = "epoch0"
+
+
+def q_train_shuffle(spark, sf_dir, n_shards: int | None = None):
+    """Deterministic training-order shuffle: every epoch of LLM training
+    consumes the corpus in a pseudo-random order that must be
+    REPRODUCIBLE (restarts resume mid-epoch) and cheap at 100 TB. The
+    public recipe (T5 / Megatron data loaders): order by a seeded hash
+    of the document id — a fixed permutation per seed, no RNG state.
+
+    Scalable shape: shard = hash % n_shards routes docs to output files;
+    position-within-shard = rank by the hash WITHIN the shard — a
+    row_number window PARTITIONED by shard, never a global sort. A
+    production writer gets the same effect for free with
+    repartition(shard).sortWithinPartitions(h); the explicit (shard,
+    pos) pair here is the oracle-checkable form of that file layout.
+    Like seq_packing, ``n_shards`` defaults to the cluster's
+    defaultParallelism (no hard-coded shard literal in the production
+    path); the registry demo pins 16 for oracle determinism."""
+    if n_shards is None:
+        n_shards = spark.sparkContext.defaultParallelism
+    d = _docs(spark, sf_dir).select("doc_id")
+    h = F.md5(
+        F.concat(
+            F.lit(_SHUF_SEED), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    keyed = d.select(
+        "doc_id",
+        h.alias("h"),
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).alias("shard"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("h", "doc_id")
+    )
+    return keyed.select(
+        "doc_id", "shard", pos.cast("long").alias("pos")
+    )
+
+
+_ORACLE_TRAIN_SHUFFLE = f"""
+WITH s AS (
+  SELECT doc_id, md5('{_SHUF_SEED}:' || doc_id::VARCHAR) AS h
+  FROM documents),
+t AS (
+  SELECT doc_id, h,
+         ('0x' || substr(h, 1, 8))::BIGINT % 16 AS shard
+  FROM s)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT
+         AS pos
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# WARC source (Common Crawl's native format)
+# --------------------------------------------------------------------------
+
+def q_warc_extract(spark, sf_dir):
+    """WARC archive round-trip — the source format a web-scale corpus
+    actually arrives in (Common Crawl WARC, public ISO 28500 layout; no
+    reference analog — the reference has no archive layer). Each pandas
+    batch is serialized into ONE multi-record WARC blob (response
+    records wrapping an HTTP/1.1 response whose body is the document
+    text), then parsed back by the real record parser
+    (functions/warc.py): header block by CRLFCRLF, payload by DECLARED
+    Content-Length — never by delimiter search, the pdf.py /Length
+    lesson — so bodies containing CRLFCRLF cannot shift record frames.
+
+    Emitted per record: the doc id recovered from the WARC-Target-URI,
+    the parsed HTTP status, the record's declared content length, the
+    WARC header count, and the md5 of the recovered body bytes. The
+    DuckDB oracle replays the construction contract: content_length =
+    len(HTTP_HEAD) + octet_length(text), body digest = md5(text) — a
+    mis-sliced payload diverges on the digest, a mis-counted header on
+    the count.
+
+    100 TB shape: pure map — one mapInPandas hop doing build+parse, zero
+    shuffles (only _spread's small-file fan-out). In production the
+    build half is replaced by a binary-file scan of real WARCs; the
+    parse half is exactly this code."""
+    import pandas as pd
+
+    from .functions.warc import build_warc, iter_warc, split_http
+
+    d = _spread(spark, _docs(spark, sf_dir)).select(
+        "doc_id", "source", "text"
+    )
+
+    def gen(batches):
+        for b in batches:
+            recs = [
+                (
+                    f"http://{source}.example.org/doc/{int(doc_id)}",
+                    text.encode("utf-8"),
+                )
+                for doc_id, source, text in zip(
+                    b["doc_id"], b["source"], b["text"]
+                )
+            ]
+            blob = build_warc(recs)
+            out = {"doc_id": [], "http_status": [], "content_length": [],
+                   "n_warc_headers": [], "body_md5": []}
+            for headers, payload in iter_warc(blob):
+                status, _http_headers, body = split_http(payload)
+                uri = headers["WARC-Target-URI"]
+                out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                out["http_status"].append(status)
+                out["content_length"].append(int(headers["Content-Length"]))
+                out["n_warc_headers"].append(len(headers))
+                out["body_md5"].append(hashlib.md5(body).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        gen,
+        schema="doc_id long, http_status int, content_length long, "
+               "n_warc_headers int, body_md5 string",
+    )
+
+
+def _warc_oracle_sql() -> str:
+    from .functions.warc import HTTP_HEAD
+
+    return f"""
+SELECT doc_id,
+       200::INT AS http_status,
+       (octet_length(text::BLOB) + {len(HTTP_HEAD)})::BIGINT
+         AS content_length,
+       6::INT AS n_warc_headers,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+
+_ORACLE_WARC = _warc_oracle_sql()
+
+
 REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "href_sanitize": (q_href_sanitize, _ORACLE_HREF),
     "control_char_filter": (q_control_char_filter, _ORACLE_CONTROL),
@@ -5621,6 +5998,15 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "doc_chunking": (q_doc_chunking, _ORACLE_DOC_CHUNKING),
     "classifier_quality": (q_classifier_quality, _ORACLE_CLASSIFIER),
     "jl_projection": (q_jl_projection, _ORACLE_JL),
+    "quality_tiers": (q_quality_tiers, _ORACLE_QUALITY_TIERS),
+    "gopher_filters": (q_gopher_filters, _ORACLE_GOPHER),
+    # 16-shard demo pin for oracle determinism; bare q_train_shuffle
+    # defaults n_shards to defaultParallelism (the seq_packing convention)
+    "train_shuffle": (
+        lambda spark, sf_dir: q_train_shuffle(spark, sf_dir, n_shards=16),
+        _ORACLE_TRAIN_SHUFFLE,
+    ),
+    "warc_extract": (q_warc_extract, _ORACLE_WARC),
 }
 
 

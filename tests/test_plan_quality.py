@@ -701,6 +701,57 @@ def test_jl_projection_zero_shuffle_map(spark):
     assert plan.count("Exchange") <= 1, plan
 
 
+def test_r07_ops_plan_shapes(spark):
+    """r07 operators keep the repo's shuffle discipline: quality_tiers
+    assigns tiers MAP-SIDE (the histogram fold is a separate bounded
+    driver job at build time — the returned plan has zero exchanges);
+    gopher_filters is one map projection; train_shuffle's window is
+    shard-partitioned (one hash exchange, NEVER a range/global sort);
+    warc_extract is one mapInPandas hop."""
+    from html_sanitizer_spark.queries import (
+        q_gopher_filters,
+        q_quality_tiers,
+        q_train_shuffle,
+        q_warc_extract,
+    )
+
+    plan = _plan(q_quality_tiers(spark, SF))
+    assert "Exchange" not in plan, plan
+
+    plan = _plan(q_gopher_filters(spark, SF))
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") <= 1, plan  # _spread fan-out only
+
+    plan = _plan(q_train_shuffle(spark, SF, n_shards=16))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.lower().count("hashpartitioning") >= 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+    plan = _plan(q_warc_extract(spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") <= 1, plan  # _spread fan-out only
+
+
+def test_train_shuffle_shards_scale_with_cluster(spark):
+    """The seq_packing convention: no hard-coded shard literal in the
+    production path — bare q_train_shuffle defaults n_shards to
+    defaultParallelism; 16 survives only in the registry demo lambda."""
+    import inspect
+
+    from html_sanitizer_spark import queries as Q
+
+    assert (
+        inspect.signature(Q.q_train_shuffle).parameters["n_shards"].default
+        is None
+    )
+    dp = spark.sparkContext.defaultParallelism
+    got = Q.q_train_shuffle(spark, SF).select("shard").distinct().count()
+    assert got == dp  # 500 docs at sf0.001 >> dp: every residue occupied
+
+
 def test_bounded_collect_enforces_declared_bound(spark):
     """The bounded-collect contract is one enforced invariant, not five
     docstring promises (VERDICT r06 #4): overflow raises, naming the

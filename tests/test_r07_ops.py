@@ -1,0 +1,221 @@
+"""Ground-truth semantics of the r07 operators (quality_tiers,
+gopher_filters, train_shuffle, warc_extract) — independent pure-Python
+reimplementations and properties the DuckDB parity gate cannot see
+(both engines could be wrong the same way): tier threshold maximality,
+per-rule binding on the designed subsets, permutation laws, and the
+archive construction contract."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+
+from html_sanitizer_spark.queries import (
+    q_gopher_filters,
+    q_quality_score,
+    q_quality_tiers,
+    q_train_shuffle,
+    q_warc_extract,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_py():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source, n_chars FROM "
+        f"read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _round4(x: float) -> float:
+    # HALF_UP at the 4-decimal grain (both engines' round())
+    return math.floor(x * 10_000 + 0.5) / 10_000
+
+
+# --------------------------------------------------------------------------
+# quality_tiers
+# --------------------------------------------------------------------------
+
+def test_quality_tiers_threshold_law(spark):
+    """Recompute the greedy from-the-top threshold fold in pure Python
+    from the emitted keys and check every tier assignment — independent
+    of the operator's own driver-side fold (the score itself is already
+    single-sourced with the oracled quality_score)."""
+    rows = q_quality_tiers(spark, SF).collect()
+    assert rows
+    n = len(rows)
+    hist: dict[int, int] = {}
+    for r in rows:
+        hist[r["quality_key"]] = hist.get(r["quality_key"], 0) + 1
+    thresholds = []
+    for div in (5, 2):
+        budget, cum, t = n // div, 0, None
+        for k in sorted(hist, reverse=True):
+            cum += hist[k]
+            if cum > budget:
+                break
+            t = k
+        thresholds.append(t)
+    t1, t2 = thresholds
+    for r in rows:
+        k = r["quality_key"]
+        want = (
+            0 if (t1 is not None and k >= t1)
+            else 1 if (t2 is not None and k >= t2)
+            else 2
+        )
+        assert r["tier"] == want, (r, t1, t2)
+    # budget + maximality laws: tiers never exceed their budgets, and the
+    # next tie-block down would overflow (unless the tier is exhaustive)
+    n0 = sum(1 for r in rows if r["tier"] == 0)
+    n01 = sum(1 for r in rows if r["tier"] <= 1)
+    assert n0 <= n // 5 and n01 <= n // 2
+    below_t1 = [k for k in hist if t1 is None or k < t1]
+    if below_t1:
+        assert n0 + hist[max(below_t1)] > n // 5
+    below_t2 = [k for k in hist if t2 is None or k < t2]
+    if below_t2:
+        assert n01 + hist[max(below_t2)] > n // 2
+    # tiers are monotone in the key: min key of tier i >= max key of i+1
+    by_tier: dict[int, list[int]] = {0: [], 1: [], 2: []}
+    for r in rows:
+        by_tier[r["tier"]].append(r["quality_key"])
+    for hi, lo in ((0, 1), (1, 2)):
+        if by_tier[hi] and by_tier[lo]:
+            assert min(by_tier[hi]) > max(by_tier[lo])
+
+
+def test_quality_tiers_key_matches_quality_score(spark):
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in q_quality_score(spark, SF).collect()
+    }
+    for r in q_quality_tiers(spark, SF).collect():
+        # the key is the nearest integer to score*10000 (score is already
+        # at the 4-decimal grain, so the product is integral up to float
+        # representation error)
+        assert abs(r["quality_key"] - scores[r["doc_id"]] * 10_000) < 0.5
+
+
+# --------------------------------------------------------------------------
+# gopher_filters
+# --------------------------------------------------------------------------
+
+_STOP = {"the", "a", "and", "of", "to", "in", "on", "for", "is", "with"}
+
+
+def _gopher_py(doc_id: int, text: str):
+    w = text.strip().split(" ")
+    n0 = len(w)
+    if doc_id % 7 == 0:
+        w = w + ["###"] * (n0 // 5 + 1)
+    if doc_id % 11 == 0:
+        w = w + ["a"] * (n0 * 3)
+    if doc_id % 13 == 0:
+        w = w + ["12345"] * (n0 // 3 + 1)
+    n = len(w)
+    mean_len = _round4(sum(len(t) for t in w) / n)
+    sym = _round4(sum(1 for t in w if "#" in t or "..." in t) / n)
+    alpha = _round4(sum(1 for t in w if any(c.isascii() and c.isalpha() for c in t)) / n)
+    n_stop = len({t for t in w if t in _STOP})
+    keep = int(
+        30 <= n <= 100_000
+        and 3.0 <= mean_len <= 10.0
+        and sym <= 0.1
+        and alpha >= 0.8
+        and n_stop >= 2
+    )
+    return n, mean_len, sym, alpha, n_stop, keep
+
+
+def test_gopher_filters_pure_python_reimplementation(spark):
+    expected = {
+        doc_id: _gopher_py(doc_id, text)
+        for doc_id, text, _, n_chars in _docs_py()
+        if text.strip()
+    }
+    rows = q_gopher_filters(spark, SF).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, mean_len, sym, alpha, n_stop, keep = expected[r["doc_id"]]
+        assert r["n_words"] == n, r
+        assert abs(r["mean_word_len"] - mean_len) < 1e-9, (r, mean_len)
+        assert abs(r["symbol_ratio"] - sym) < 1e-9, (r, sym)
+        assert abs(r["alpha_frac"] - alpha) < 1e-9, (r, alpha)
+        assert r["n_stop_types"] == n_stop, r
+        assert r["keep"] == keep, r
+
+
+def test_gopher_rules_bind_on_designed_subsets(spark):
+    rows = {r["doc_id"]: r for r in q_gopher_filters(spark, SF).collect()}
+    # each injection binds its own rule on docs hit by ONLY that residue
+    sym_only = [r for d, r in rows.items()
+                if d % 7 == 0 and d % 11 != 0 and d % 13 != 0]
+    assert sym_only and all(r["symbol_ratio"] > 0.1 for r in sym_only)
+    short_only = [r for d, r in rows.items() if d % 11 == 0]
+    assert short_only and all(r["mean_word_len"] < 3.0 for r in short_only)
+    alpha_only = [r for d, r in rows.items()
+                  if d % 13 == 0 and d % 11 != 0]
+    assert alpha_only and all(r["alpha_frac"] < 0.8 for r in alpha_only)
+    # and the battery still keeps a healthy undecorated majority
+    clean = [r for d, r in rows.items()
+             if d % 7 and d % 11 and d % 13 and r["n_words"] >= 30]
+    kept = [r for r in clean if r["keep"] == 1]
+    assert kept, "no clean doc survives — thresholds are miscalibrated"
+
+
+# --------------------------------------------------------------------------
+# train_shuffle
+# --------------------------------------------------------------------------
+
+def test_train_shuffle_pure_python_reimplementation(spark):
+    doc_ids = [d for d, *_ in _docs_py()]
+    shards: dict[int, list[tuple[str, int]]] = {}
+    for d in doc_ids:
+        h = hashlib.md5(f"epoch0:{d}".encode()).hexdigest()
+        shards.setdefault(int(h[:8], 16) % 16, []).append((h, d))
+    expected = {}
+    for s, members in shards.items():
+        for pos, (_, d) in enumerate(sorted(members), start=1):
+            expected[d] = (s, pos)
+    rows = q_train_shuffle(spark, SF, n_shards=16).collect()
+    assert len(rows) == len(doc_ids)
+    for r in rows:
+        assert (r["shard"], r["pos"]) == expected[r["doc_id"]], r
+
+
+def test_train_shuffle_is_a_permutation_per_shard(spark):
+    rows = q_train_shuffle(spark, SF, n_shards=16).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), s
+
+
+# --------------------------------------------------------------------------
+# warc_extract
+# --------------------------------------------------------------------------
+
+def test_warc_extract_construction_contract(spark):
+    from html_sanitizer_spark.functions.warc import HTTP_HEAD
+
+    expected = {
+        doc_id: (len(HTTP_HEAD) + len(text.encode("utf-8")),
+                 hashlib.md5(text.encode("utf-8")).hexdigest())
+        for doc_id, text, _, _ in _docs_py()
+    }
+    rows = q_warc_extract(spark, SF).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        clen, digest = expected[r["doc_id"]]
+        assert r["http_status"] == 200
+        assert r["content_length"] == clen, r
+        assert r["n_warc_headers"] == 6
+        assert r["body_md5"] == digest, r
