@@ -3655,6 +3655,55 @@ FROM f GROUP BY kind
 _ORACLE_MULTIMODAL_REAL = _multimodal_real_oracle_sql()
 
 
+# Boilerplate-page construction constants, single-sourced between
+# q_main_content, q_wet_pipeline, and the wet oracle's content-length
+# arithmetic (so the page the extractor sees and the length the oracle
+# predicts cannot drift apart)
+_PAGE_HEADER = "<header><h1>Site Title</h1></header>"
+_PAGE_NAV_OPEN = "<nav><ul>"
+_PAGE_NAV_ITEM = '<li><a href="/nav">Home</a></li>'
+_PAGE_NAV_CLOSE = "</ul></nav>"
+_PAGE_MAIN_OPEN = '<div class="main"><p>'
+_PAGE_MAIN_MID = "</p>"
+_PAGE_FARM = (
+    '<ul><li><a href="/a">aaa</a></li><li><a href="/b">bbb</a></li></ul>'
+)
+_PAGE_MIXED = '<p>See <a href="/more">details</a> in the archive</p></div>'
+_PAGE_ASIDE = '<aside><p><a href="/ad">Sponsored</a></p></aside>'
+_PAGE_FOOTER = '<footer><p>&copy; 2026 <a href="/t">Terms</a></p></footer>'
+# page length minus the nav items, the optional farm, and the doc text
+_PAGE_FIXED_LEN = sum(
+    len(s)
+    for s in (
+        _PAGE_HEADER, _PAGE_NAV_OPEN, _PAGE_NAV_CLOSE, _PAGE_MAIN_OPEN,
+        _PAGE_MAIN_MID, _PAGE_MIXED, _PAGE_ASIDE, _PAGE_FOOTER,
+    )
+)
+
+
+def _boilerplate_page():
+    """The deterministic full-page wrap (header, nav link list with
+    3 + doc_id%3 items, content paragraph, link-farm sibling on
+    doc_id%3 != 0, mixed text+link paragraph, sponsored aside, footer)
+    as a Column over (doc_id, text)."""
+    nav = F.concat(
+        F.lit(_PAGE_NAV_OPEN),
+        F.repeat(
+            F.lit(_PAGE_NAV_ITEM),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(3)).cast("int"),
+        ),
+        F.lit(_PAGE_NAV_CLOSE),
+    )
+    farm = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) != 0, F.lit(_PAGE_FARM)
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit(_PAGE_HEADER), nav,
+        F.lit(_PAGE_MAIN_OPEN), F.col("text"), F.lit(_PAGE_MAIN_MID), farm,
+        F.lit(_PAGE_MIXED), F.lit(_PAGE_ASIDE), F.lit(_PAGE_FOOTER),
+    )
+
+
 def q_main_content(spark, sf_dir):
     """Main-content extraction — the north rule's "HTML boilerplate
     strip ... DOM heuristics" capability (no reference analog: the
@@ -3686,27 +3735,7 @@ def q_main_content(spark, sf_dir):
         spark,
         _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
     )
-    nav = F.concat(
-        F.lit("<nav><ul>"),
-        F.repeat(
-            F.lit('<li><a href="/nav">Home</a></li>'),
-            (F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(3)).cast("int"),
-        ),
-        F.lit("</ul></nav>"),
-    )
-    farm = F.when(
-        F.pmod(F.col("doc_id"), F.lit(3)) != 0,
-        F.lit('<ul><li><a href="/a">aaa</a></li>'
-              '<li><a href="/b">bbb</a></li></ul>'),
-    ).otherwise(F.lit(""))
-    page = F.concat(
-        F.lit("<header><h1>Site Title</h1></header>"), nav,
-        F.lit('<div class="main"><p>'), F.col("text"), F.lit("</p>"), farm,
-        F.lit('<p>See <a href="/more">details</a> in the archive</p></div>'),
-        F.lit('<aside><p><a href="/ad">Sponsored</a></p></aside>'),
-        F.lit('<footer><p>&copy; 2026 <a href="/t">Terms</a></p></footer>'),
-    )
-    ex = make_extract_udf()(page).alias("ex")
+    ex = make_extract_udf()(_boilerplate_page()).alias("ex")
     return (
         d.select("doc_id", ex)
         .select(
@@ -3940,12 +3969,18 @@ FROM per_doc LEFT JOIN rebuilt USING (doc_id)
 """
 
 
-_ORACLE_MAIN_CONTENT = r"""
-SELECT doc_id,
-       trim(regexp_replace(text, '\s+', ' ', 'g'))
+# expected-extraction column fragment, single-sourced between the
+# main_content and wet_pipeline oracles (the page-construction CONTRACT:
+# extraction = normalized doc text + the kept mixed paragraph, 2 kept
+# blocks, 1 dropped link farm when present)
+_MAIN_CONTENT_EXPECTED_SQL = r"""trim(regexp_replace(text, '\s+', ' ', 'g'))
          || chr(10) || 'See details in the archive' AS main_text,
        2::INT AS n_kept,
-       (CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)::INT AS n_dropped
+       (CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)::INT AS n_dropped"""
+
+_ORACLE_MAIN_CONTENT = f"""
+SELECT doc_id,
+       {_MAIN_CONTENT_EXPECTED_SQL}
 FROM documents
 WHERE length(trim(text)) > 0
 """
@@ -5902,6 +5937,91 @@ def q_warc_extract(spark, sf_dir):
     )
 
 
+def q_wet_pipeline(spark, sf_dir):
+    """WET generation — the Common Crawl WARC -> extracted-text pipeline
+    (public practice: WET files ARE main-content extractions of WARC
+    response records) composed from the repo's own stages: each document
+    is wrapped into the main_content boilerplate page (single-sourced
+    `_boilerplate_page`), serialized into multi-record WARC blobs,
+    parsed back by the length-addressed record parser
+    (functions/warc.py), and the recovered HTML body goes through the
+    REAL DOM extractor (engine/extract.py: recovery parse -> kill list
+    -> per-atomic-block link density) — archive framing and boilerplate
+    strip exercised as ONE hop, the exact ingest shape a crawl-scale
+    corpus build runs.
+
+    Oracle = the two composed construction contracts, single-sourced
+    with their standalone ops: content_length from the shared page
+    fragments' arithmetic (a drifted literal diverges), main_text /
+    n_kept / n_dropped from the main_content expected-extraction
+    fragment (a framing slip feeds the extractor a shifted body and
+    diverges everything).
+
+    100 TB shape: pure map — ONE mapInPandas hop doing wrap + archive +
+    parse + extract, zero shuffles (only _spread's small-file fan-out);
+    in production the wrap+archive half is replaced by a binary scan of
+    real WARCs and the parse+extract half is exactly this code."""
+    import pandas as pd
+
+    from .functions.warc import build_warc, iter_warc, split_http
+
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    ).select("doc_id", "source", _boilerplate_page().alias("page"))
+
+    def gen(batches):
+        from .engine.extract import extract_main_blocks
+
+        for b in batches:
+            recs = [
+                (
+                    f"http://{source}.example.org/doc/{int(doc_id)}",
+                    page.encode("utf-8"),
+                )
+                for doc_id, source, page in zip(
+                    b["doc_id"], b["source"], b["page"]
+                )
+            ]
+            blob = build_warc(recs)
+            out = {"doc_id": [], "content_length": [], "main_text": [],
+                   "n_kept": [], "n_dropped": []}
+            for headers, payload in iter_warc(blob):
+                _status, _hh, body = split_http(payload)
+                kept, dropped = extract_main_blocks(body.decode("utf-8"))
+                uri = headers["WARC-Target-URI"]
+                out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                out["content_length"].append(int(headers["Content-Length"]))
+                out["main_text"].append("\n".join(kept))
+                out["n_kept"].append(len(kept))
+                out["n_dropped"].append(dropped)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        gen,
+        schema="doc_id long, content_length long, main_text string, "
+               "n_kept int, n_dropped int",
+    )
+
+
+def _wet_oracle_sql() -> str:
+    from .functions.warc import HTTP_HEAD
+
+    return f"""
+SELECT doc_id,
+       ({len(HTTP_HEAD) + _PAGE_FIXED_LEN}
+        + {len(_PAGE_NAV_ITEM)} * (doc_id % 3 + 3)
+        + CASE WHEN doc_id % 3 <> 0 THEN {len(_PAGE_FARM)} ELSE 0 END
+        + octet_length(text::BLOB))::BIGINT AS content_length,
+       {_MAIN_CONTENT_EXPECTED_SQL}
+FROM documents
+WHERE length(trim(text)) > 0
+"""
+
+
+_ORACLE_WET = _wet_oracle_sql()
+
+
 def _warc_oracle_sql() -> str:
     from .functions.warc import HTTP_HEAD
 
@@ -6007,6 +6127,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
         _ORACLE_TRAIN_SHUFFLE,
     ),
     "warc_extract": (q_warc_extract, _ORACLE_WARC),
+    "wet_pipeline": (q_wet_pipeline, _ORACLE_WET),
 }
 
 

@@ -734,6 +734,14 @@ def test_r07_ops_plan_shapes(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("Exchange") <= 1, plan  # _spread fan-out only
 
+    from html_sanitizer_spark.queries import q_wet_pipeline
+
+    plan = _plan(q_wet_pipeline(spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") <= 1, plan  # _spread fan-out only
+
 
 def test_train_shuffle_shards_scale_with_cluster(spark):
     """The seq_packing convention: no hard-coded shard literal in the

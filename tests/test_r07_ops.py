@@ -203,6 +203,40 @@ def test_train_shuffle_is_a_permutation_per_shard(spark):
 # warc_extract
 # --------------------------------------------------------------------------
 
+def test_wet_pipeline_composes_main_content_through_the_archive(spark):
+    """The WET hop must recover EXACTLY what the standalone extractor
+    op produces (same page, now round-tripped through WARC framing),
+    and its content_length must equal a pure-Python rebuild of the page
+    from the same constants — catching any drift between the Column
+    construction, the shared literals, and the oracle arithmetic."""
+    from html_sanitizer_spark.functions.warc import HTTP_HEAD
+    from html_sanitizer_spark.queries import (
+        _PAGE_FARM,
+        _PAGE_FIXED_LEN,
+        _PAGE_NAV_ITEM,
+        q_main_content,
+        q_wet_pipeline,
+    )
+
+    wet = {r["doc_id"]: r for r in q_wet_pipeline(spark, SF).collect()}
+    main = {r["doc_id"]: r for r in q_main_content(spark, SF).collect()}
+    assert set(wet) == set(main)
+    for d, r in wet.items():
+        m = main[d]
+        assert (r["main_text"], r["n_kept"], r["n_dropped"]) == (
+            m["main_text"], m["n_kept"], m["n_dropped"]
+        ), d
+    texts = {doc_id: text for doc_id, text, _, _ in _docs_py()}
+    for d, r in wet.items():
+        expect = (
+            len(HTTP_HEAD) + _PAGE_FIXED_LEN
+            + len(_PAGE_NAV_ITEM) * (d % 3 + 3)
+            + (len(_PAGE_FARM) if d % 3 != 0 else 0)
+            + len(texts[d].encode("utf-8"))
+        )
+        assert r["content_length"] == expect, (d, r["content_length"], expect)
+
+
 def test_warc_extract_construction_contract(spark):
     from html_sanitizer_spark.functions.warc import HTTP_HEAD
 
