@@ -1390,8 +1390,11 @@ FROM documents WHERE n_chars > 0
 """
 
 
-def q_quality_score(spark, sf_dir):
-    """Length/punctuation/stopword quality features + composite score."""
+def _quality_scored(spark, sf_dir):
+    """(doc_id, source, n_tokens, punct_ratio, stopword_ratio,
+    quality_score) — the map-side quality feature frame, single-sourced
+    between q_quality_score, q_quality_tiers, and
+    q_source_quality_report."""
     d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
@@ -1406,8 +1409,17 @@ def q_quality_score(spark, sf_dir):
         4,
     )
     return d.select(
-        "doc_id", n_tokens.alias("n_tokens"), punct_ratio.alias("punct_ratio"),
+        "doc_id", "source", n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"), score.alias("quality_score"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Length/punctuation/stopword quality features + composite score."""
+    return _quality_scored(spark, sf_dir).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "quality_score",
     )
 
 
@@ -1415,7 +1427,7 @@ def q_quality_score(spark, sf_dir):
 # oracle (single-sourced so the tier cutoffs provably bucket the SAME
 # score the standalone operator reports)
 _QUALITY_CTES = f"""qf AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          len(string_split(text, ' ')) AS n_tokens,
          round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
                / len(text), 4) AS punct_ratio,
@@ -1424,7 +1436,7 @@ _QUALITY_CTES = f"""qf AS (
                / len(string_split(text, ' ')), 4) AS stopword_ratio
   FROM documents WHERE n_chars > 0),
 qscore AS (
-  SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+  SELECT doc_id, source, n_tokens, punct_ratio, stopword_ratio,
          round(stopword_ratio * 0.4 + least(n_tokens / 100.0, 1.0) * 0.4
                + (1.0 - punct_ratio) * 0.2, 4) AS quality_score
   FROM qf)"""
@@ -5621,12 +5633,29 @@ def q_quality_tiers(spark, sf_dir):
     every doc with key >= t_k is in tier <= k; a tie-block that would
     overflow the budget falls entirely into the next tier. Scores are
     single-sourced from q_quality_score on BOTH engines."""
-    scored = q_quality_score(spark, sf_dir).select(
+    scored = _quality_key_frame(spark, sf_dir)
+    tier = _tier_expr(_tier_thresholds(scored))
+    return scored.select(
+        "doc_id", "quality_key", tier.cast("int").alias("tier")
+    )
+
+
+def _quality_key_frame(spark, sf_dir):
+    """(doc_id, source, quality_key) — the scaled-integer score key,
+    single-sourced between q_quality_tiers and
+    q_source_quality_report."""
+    return _quality_scored(spark, sf_dir).select(
         "doc_id",
+        "source",
         F.round(F.col("quality_score") * 10000, 0)
         .cast("long")
         .alias("quality_key"),
     )
+
+
+def _tier_thresholds(scored):
+    """Fold the domain-bounded score histogram into the two threshold
+    keys (see q_quality_tiers docstring for the tie rule)."""
     hist = scored.groupBy("quality_key").agg(F.count(F.lit(1)).alias("c"))
     rows = bounded_collect(
         hist, _TIER_KEY_DOMAIN, "quality-tier score histogram"
@@ -5641,21 +5670,25 @@ def q_quality_tiers(spark, sf_dir):
                 break
             t = r["quality_key"]
         thresholds.append(t)
+    return thresholds
+
+
+def _tier_expr(thresholds):
     t1, t2 = thresholds
     tier = F.lit(2)
     if t2 is not None:
         tier = F.when(F.col("quality_key") >= F.lit(t2), F.lit(1)).otherwise(tier)
     if t1 is not None:
         tier = F.when(F.col("quality_key") >= F.lit(t1), F.lit(0)).otherwise(tier)
-    return scored.select(
-        "doc_id", "quality_key", tier.cast("int").alias("tier")
-    )
+    return tier
 
 
-_ORACLE_QUALITY_TIERS = f"""
-WITH {_QUALITY_CTES},
+# CTE chain ending in ``tiered`` (doc_id, source, quality_key, tier) —
+# single-sourced between the quality_tiers and source_quality_report
+# oracles (the composed report provably buckets with the SAME thresholds)
+_TIER_CTES = f"""{_QUALITY_CTES},
 k AS (
-  SELECT doc_id, round(quality_score * 10000)::BIGINT AS quality_key
+  SELECT doc_id, source, round(quality_score * 10000)::BIGINT AS quality_key
   FROM qscore),
 h AS (SELECT quality_key, count(*)::BIGINT AS c FROM k GROUP BY quality_key),
 cum AS (
@@ -5669,12 +5702,111 @@ th AS (
              THEN quality_key END) AS t1,
     min(CASE WHEN cum_top <= (SELECT n FROM tot) // {_TIER_BUDGET_DIVS[1]}
              THEN quality_key END) AS t2
-  FROM cum)
-SELECT doc_id, quality_key,
-       (CASE WHEN t1 IS NOT NULL AND quality_key >= t1 THEN 0
-             WHEN t2 IS NOT NULL AND quality_key >= t2 THEN 1
-             ELSE 2 END)::INT AS tier
-FROM k CROSS JOIN th
+  FROM cum),
+tiered AS (
+  SELECT doc_id, source, quality_key,
+         (CASE WHEN t1 IS NOT NULL AND quality_key >= t1 THEN 0
+               WHEN t2 IS NOT NULL AND quality_key >= t2 THEN 1
+               ELSE 2 END)::INT AS tier
+  FROM k CROSS JOIN th)"""
+
+_ORACLE_QUALITY_TIERS = f"""
+WITH {_TIER_CTES}
+SELECT doc_id, quality_key, tier FROM tiered
+"""
+
+
+def q_source_quality_report(spark, sf_dir):
+    """Per-source curation report — the rollup every corpus build ships
+    to decide source mixture and cutoffs (CCNet/RefinedWeb publish
+    exactly these tables): docs, mean quality key, and the tier shares
+    per source, with the tiers single-sourced from q_quality_tiers'
+    threshold fold (same histogram, same literals).
+
+    100 TB shape: the score and tier are map-side (literal thresholds),
+    so the report is ONE groupBy(source) with map-side partial
+    aggregation — source cardinality is tiny, the shuffle carries one
+    row per (partition, source). Mean is carried as an exact BIGINT key
+    sum divided once at the end (the fixed-point discipline)."""
+    scored = _quality_key_frame(spark, sf_dir)
+    tier = _tier_expr(_tier_thresholds(scored))
+    tiered = scored.withColumn("tier", tier.cast("int"))
+    return (
+        tiered.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("quality_key").alias("key_sum"),
+            F.sum(F.when(F.col("tier") == 0, 1).otherwise(0)).alias("n_tier0"),
+            F.sum(F.when(F.col("tier") <= 1, 1).otherwise(0)).alias("n_tier01"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("key_sum") / F.col("n_docs"), 4).alias(
+                "mean_quality_key"
+            ),
+            F.round(F.col("n_tier0") / F.col("n_docs"), 4).alias(
+                "tier0_share"
+            ),
+            F.round(F.col("n_tier01") / F.col("n_docs"), 4).alias(
+                "tier01_share"
+            ),
+        )
+    )
+
+
+_ORACLE_SOURCE_QUALITY = f"""
+WITH {_TIER_CTES}
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(sum(quality_key)::BIGINT / count(*), 4) AS mean_quality_key,
+       round(sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) / count(*), 4)
+         AS tier0_share,
+       round(sum(CASE WHEN tier <= 1 THEN 1 ELSE 0 END) / count(*), 4)
+         AS tier01_share
+FROM tiered
+GROUP BY source
+"""
+
+
+def q_token_budget_report(spark, sf_dir):
+    """Context-length token budget — the planning table a training run
+    derives before packing: how many documents and tokens live in each
+    power-of-two length bucket (public practice: every context-length
+    ablation starts from this histogram). Bucket = the highest power of
+    two <= the doc's whitespace token count, computed EXACTLY via the
+    bit length of the count (string length of its base-2 form — no
+    float log2, whose Math.log ratio can straddle integer boundaries);
+    both engines share the same integer-only derivation.
+
+    100 TB shape: map-side bucket + ONE groupBy over a <= ~40-value
+    bucket domain (map-side partials reduce each task to one row per
+    bucket); nothing corpus-sized shuffles."""
+    d = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    bits = F.length(F.conv(n_tok.cast("string"), 10, 2))
+    bucket = F.expr("shiftleft(1L, cast(bits - 1 as int))")
+    return (
+        d.select(n_tok.alias("n_tok"), bits.alias("bits"))
+        .select(bucket.alias("len_bucket"), F.col("n_tok"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_ORACLE_TOKEN_BUDGET = """
+WITH t AS (
+  SELECT len(string_split(trim(text), ' ')) AS n_tok
+  FROM documents WHERE len(trim(text)) > 0),
+b AS (
+  SELECT n_tok, (1::BIGINT << (length(bin(n_tok)) - 1)) AS len_bucket
+  FROM t)
+SELECT len_bucket, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens
+FROM b GROUP BY len_bucket
 """
 
 
@@ -6128,6 +6260,8 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "warc_extract": (q_warc_extract, _ORACLE_WARC),
     "wet_pipeline": (q_wet_pipeline, _ORACLE_WET),
+    "source_quality_report": (q_source_quality_report, _ORACLE_SOURCE_QUALITY),
+    "token_budget_report": (q_token_budget_report, _ORACLE_TOKEN_BUDGET),
 }
 
 

@@ -742,6 +742,20 @@ def test_r07_ops_plan_shapes(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("Exchange") <= 1, plan  # _spread fan-out only
 
+    # the two rollup reports: map-side derivation + ONE keyed groupBy
+    # over a tiny domain (source / length-bucket), partial-agg first
+    from html_sanitizer_spark.queries import (
+        q_source_quality_report,
+        q_token_budget_report,
+    )
+
+    for fn in (q_source_quality_report, q_token_budget_report):
+        plan = _plan(fn(spark, SF))
+        assert "rangepartitioning" not in plan.lower(), plan
+        assert plan.lower().count("hashpartitioning") >= 1, plan
+        assert plan.count("Exchange") == 1, plan
+        assert "partial" in plan.lower(), plan  # map-side combine present
+
 
 def test_train_shuffle_shards_scale_with_cluster(spark):
     """The seq_packing convention: no hard-coded shard literal in the

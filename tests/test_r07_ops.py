@@ -103,6 +103,59 @@ def test_quality_tiers_key_matches_quality_score(spark):
         assert abs(r["quality_key"] - scores[r["doc_id"]] * 10_000) < 0.5
 
 
+def test_source_quality_report_recomposes_from_tiers(spark):
+    """The report must equal a pure-Python rollup of the tiers output
+    joined with the docs' sources — composition cannot drift from the
+    per-doc operator."""
+    from html_sanitizer_spark.queries import q_source_quality_report
+
+    sources = {d: s for d, _, s, _ in _docs_py()}
+    tiers = q_quality_tiers(spark, SF).collect()
+    agg: dict[str, list] = {}
+    for r in tiers:
+        a = agg.setdefault(sources[r["doc_id"]], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r["quality_key"]
+        a[2] += r["tier"] == 0
+        a[3] += r["tier"] <= 1
+    rows = q_source_quality_report(spark, SF).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, ksum, n0, n01 = agg[r["source"]]
+        assert r["n_docs"] == n
+        assert abs(r["mean_quality_key"] - _round4(ksum / n)) < 1e-9
+        assert abs(r["tier0_share"] - _round4(n0 / n)) < 1e-9
+        assert abs(r["tier01_share"] - _round4(n01 / n)) < 1e-9
+
+
+def test_token_budget_report_bucket_law(spark):
+    """Buckets are exact powers of two, every doc lands in the bucket
+    containing its token count (bucket <= n < 2*bucket), and totals
+    conserve: sum(n_docs) = corpus docs, sum(n_tokens) = corpus tokens
+    — recomputed in pure Python."""
+    from html_sanitizer_spark.queries import q_token_budget_report
+
+    expected: dict[int, list] = {}
+    total_docs = 0
+    for _, text, _, _ in _docs_py():
+        if not text.strip():
+            continue
+        n = len(text.strip().split(" "))
+        b = 1 << (n.bit_length() - 1)
+        a = expected.setdefault(b, [0, 0])
+        a[0] += 1
+        a[1] += n
+        total_docs += 1
+    rows = q_token_budget_report(spark, SF).collect()
+    assert {r["len_bucket"]: (r["n_docs"], r["n_tokens"]) for r in rows} == {
+        b: tuple(a) for b, a in expected.items()
+    }
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    for r in rows:
+        b = r["len_bucket"]
+        assert b & (b - 1) == 0 and b > 0  # power of two
+
+
 # --------------------------------------------------------------------------
 # gopher_filters
 # --------------------------------------------------------------------------
