@@ -757,6 +757,28 @@ def test_r07_ops_plan_shapes(spark):
         assert "partial" in plan.lower(), plan  # map-side combine present
 
 
+def test_r07_ops_prune_their_scans(spark):
+    """Column pruning reaches the parquet scan: token_budget_report reads
+    ONLY text; quality_tiers needs doc_id/text/n_chars but must NOT drag
+    source (carried by the shared _quality_scored frame, pruned by
+    Catalyst through the final projection) or lang through the scan."""
+    from html_sanitizer_spark.queries import (
+        q_quality_tiers,
+        q_token_budget_report,
+    )
+
+    plan = _plan(q_token_budget_report(spark, SF))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read, plan
+    for col in ("doc_id", "source", "lang", "n_chars"):
+        assert col not in read, (col, read)
+
+    plan = _plan(q_quality_tiers(spark, SF))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("source", "lang"):
+        assert col not in read, (col, read)
+
+
 def test_train_shuffle_shards_scale_with_cluster(spark):
     """The seq_packing convention: no hard-coded shard literal in the
     production path — bare q_train_shuffle defaults n_shards to
