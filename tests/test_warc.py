@@ -64,6 +64,25 @@ def test_framing_violations_raise():
         list(iter_warc(bad))
 
 
+def test_roundtrip_property_arbitrary_bodies():
+    """Hypothesis: ANY byte bodies (including ones full of CRLF runs,
+    header-shaped text, and WARC version lines) round-trip through
+    build+parse with exact framing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(max_size=400), min_size=1, max_size=6))
+    def prop(bodies):
+        recs = list(iter_warc(_mk(bodies)))
+        assert [split_http(p)[2] for _, p in recs] == bodies
+        assert [h["WARC-Target-URI"].rsplit("/", 1)[1] for h, _ in recs] == [
+            str(i) for i in range(len(bodies))
+        ]
+
+    prop()
+
+
 def test_record_id_is_content_derived():
     uri = "http://h.example.org/doc/7"
     blob = build_warc([(uri, b"b")])
