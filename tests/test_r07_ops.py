@@ -91,6 +91,42 @@ def test_quality_tiers_threshold_law(spark):
             assert min(by_tier[hi]) > max(by_tier[lo])
 
 
+def test_tier_threshold_fold_degenerate_distributions(spark):
+    """The greedy fold on designed histograms: a single massive tie
+    (budget overflow at the top key -> NO tier 0/1, everything tier 2),
+    and a clean two-key split."""
+    from html_sanitizer_spark.queries import _tier_expr, _tier_thresholds
+    from pyspark.sql import functions as F
+
+    # 10 docs all sharing one key: budgets 2 and 5 both overflow at the
+    # first tie-block -> both thresholds None -> everything tier 2
+    one = spark.createDataFrame(
+        [(i, 7000) for i in range(10)], ["doc_id", "quality_key"]
+    )
+    t1, t2 = _tier_thresholds(one)
+    assert t1 is None and t2 is None
+    tiers = one.select(_tier_expr((t1, t2)).alias("t")).collect()
+    assert {r["t"] for r in tiers} == {2}
+
+    # 2 docs at key 9000, 8 at key 1000: budget_t1 = 10//5 = 2 -> the
+    # top block fits exactly -> t1 = 9000; budget_t2 = 5 -> adding the
+    # 8-doc block overflows -> t2 stays 9000 as well
+    two = spark.createDataFrame(
+        [(i, 9000) for i in range(2)] + [(i + 2, 1000) for i in range(8)],
+        ["doc_id", "quality_key"],
+    )
+    t1, t2 = _tier_thresholds(two)
+    assert (t1, t2) == (9000, 9000)
+    got = {
+        r["doc_id"]: r["t"]
+        for r in two.select(
+            "doc_id", _tier_expr((t1, t2)).alias("t")
+        ).collect()
+    }
+    assert all(got[i] == 0 for i in range(2))
+    assert all(got[i + 2] == 2 for i in range(8))
+
+
 def test_quality_tiers_key_matches_quality_score(spark):
     scores = {
         r["doc_id"]: r["quality_score"]
