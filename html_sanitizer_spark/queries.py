@@ -1591,12 +1591,14 @@ FROM ranked WHERE rank <= 3
 """
 
 
-def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, blocked by label (the
-    blocked/bucketed scale path: join only within blocks, never all-pairs).
-    Block-size guard: labels with > 1000 vectors are dropped before the
-    self-join — a hot label makes the block quadratic; at scale such blocks
-    must be re-blocked (LSH within label) rather than paired directly."""
+def _blocked_cosine_pairs(spark, sf_dir):
+    """(l, va, vb, cos) — label-blocked within-block cosine pairs (the
+    blocked/bucketed scale path: join only within blocks, never
+    all-pairs), single-sourced between q_embedding_neardup and
+    q_cosine_threshold_report. Block-size guard: labels with > 1000
+    vectors are dropped before the self-join — a hot label makes the
+    block quadratic; at scale such blocks must be re-blocked (LSH within
+    label) rather than paired directly."""
     e = _emb(spark, sf_dir).select(
         "label", "vec_id", _unit(F.col("embedding")).alias("unit")
     )
@@ -1611,23 +1613,29 @@ def q_embedding_neardup(spark, sf_dir):
                  F.col("unit").alias("ea"))
     b = e.select(F.col("label").alias("l"), F.col("vec_id").alias("vb"),
                  F.col("unit").alias("eb"))
-    pairs = (
+    return (
         a.join(b, "l")
         .filter(F.col("va") < F.col("vb"))
         .select(
             "l", "va", "vb",
             F.round(_dot(F.col("ea"), F.col("eb")), 4).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.35)
     )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs over the blocked pair frame
+    (see _blocked_cosine_pairs), thresholded at cos >= 0.35."""
+    pairs = _blocked_cosine_pairs(spark, sf_dir).filter(F.col("cos") >= 0.35)
     return pairs.groupBy("l").agg(
         F.count(F.lit(1)).alias("n_neardup_pairs"),
         F.max("cos").alias("max_cos"),
     ).withColumnRenamed("l", "label")
 
 
-_ORACLE_NEARDUP = """
-WITH e_all AS (SELECT label, vec_id,
+# pair CTE chain ending in ``pairs`` (label, va, vb, cos) — single-sourced
+# between the embedding_neardup and cosine_threshold_report oracles
+_COSINE_PAIR_CTES = """e_all AS (SELECT label, vec_id,
                   list_transform(list_transform(embedding, x -> x::DOUBLE),
                     x -> x / sqrt(list_sum(list_transform(embedding,
                                     y -> y::DOUBLE * y::DOUBLE)))) AS emb
@@ -1639,9 +1647,49 @@ pairs AS (
   SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
          round(list_sum(list_transform(range(1, len(a.emb) + 1),
                                        i -> a.emb[i] * b.emb[i])), 4) AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)"""
+
+_ORACLE_NEARDUP = f"""
+WITH {_COSINE_PAIR_CTES}
 SELECT label, count(*) AS n_neardup_pairs, max(cos) AS max_cos
 FROM pairs WHERE cos >= 0.35 GROUP BY label
+"""
+
+
+def q_cosine_threshold_report(spark, sf_dir):
+    """Similarity-threshold tuning table — the histogram a corpus build
+    derives BEFORE choosing a near-dup cosine cutoff (SemDeDup and
+    embedding-dedup papers pick their epsilon from exactly this
+    distribution): candidate-pair cosines over the SAME blocked pair
+    frame q_embedding_neardup consumes (single-sourced — the report
+    provably describes the operator's own candidate stream), bucketed at
+    the 0.05 grain via an INTEGER key (floor(cos*20) — both engines do
+    identical IEEE double math on the already-rounded cos, and an int
+    bucket key sidesteps float group-key hashing entirely).
+
+    100 TB shape: pairs are the blocked join the neardup op already
+    pays; the histogram adds ONE groupBy over a <= 41-value bucket
+    domain (map-side partials reduce each task to one row per bucket)."""
+    pairs = _blocked_cosine_pairs(spark, sf_dir)
+    bucket = F.floor(F.col("cos") * 20).cast("int")
+    return (
+        pairs.select(bucket.alias("cos_bucket"))
+        .groupBy("cos_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "cos_bucket",
+            F.round(F.col("cos_bucket") / 20.0, 2).alias("bucket_lo"),
+            "n_pairs",
+        )
+    )
+
+
+_ORACLE_COSINE_REPORT = f"""
+WITH {_COSINE_PAIR_CTES}
+SELECT cos_bucket, round(cos_bucket / 20.0, 2) AS bucket_lo,
+       count(*)::BIGINT AS n_pairs
+FROM (SELECT floor(cos * 20)::INT AS cos_bucket FROM pairs)
+GROUP BY cos_bucket
 """
 
 
@@ -6262,6 +6310,10 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "wet_pipeline": (q_wet_pipeline, _ORACLE_WET),
     "source_quality_report": (q_source_quality_report, _ORACLE_SOURCE_QUALITY),
     "token_budget_report": (q_token_budget_report, _ORACLE_TOKEN_BUDGET),
+    "cosine_threshold_report": (
+        q_cosine_threshold_report,
+        _ORACLE_COSINE_REPORT,
+    ),
 }
 
 

@@ -756,6 +756,14 @@ def test_r07_ops_plan_shapes(spark):
         assert plan.count("Exchange") == 1, plan
         assert "partial" in plan.lower(), plan  # map-side combine present
 
+    # cosine_threshold_report: the blocked join embedding_neardup already
+    # pays plus ONE tiny-domain groupBy — never a range/global sort
+    from html_sanitizer_spark.queries import q_cosine_threshold_report
+
+    plan = _plan(q_cosine_threshold_report(spark, SF))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "partial" in plan.lower(), plan
+
 
 def test_r07_ops_prune_their_scans(spark):
     """Column pruning reaches the parquet scan: token_budget_report reads
