@@ -32,6 +32,34 @@ def test_column_pruning(spark):
     assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
 
 
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Hive-partitioned layout (the 100 TB norm: date/lang/source
+    partitions) must prune at PLANNING time: a lang= filter shows up in
+    PartitionFilters and the scan touches ONLY that partition's files —
+    the difference between reading 1/5th and reading everything."""
+    out = str(tmp_path / "part_docs")
+    spark.read.parquet(f"{SF}/documents.parquet").write.partitionBy(
+        "lang"
+    ).mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "de").select(
+        "doc_id", "n_chars"
+    )
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    # the equality literal must be IN the partition filter (planning-time
+    # pruning), not just a post-scan Filter node; inputFiles() can't show
+    # this — it lists the relation's files before pruning
+    assert "lang" in pf and "de" in pf, plan
+    assert "PushedFilters" in plan, plan
+    # and the pruned read really is the de slice
+    n_de = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang") == "de")
+        .count()
+    )
+    assert df.count() == n_de > 0
+
+
 def test_small_side_broadcast(spark):
     """J2-style verification join: the tiny golden side must broadcast."""
     big = spark.read.parquet(f"{SF}/documents.parquet")
