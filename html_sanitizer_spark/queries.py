@@ -4331,6 +4331,45 @@ FROM ranked WHERE term_rank <= 3
 """
 
 
+def _content_link_edges(spark, sf_dir):
+    """(base, sc, edges) — the deterministic content-digest link graph
+    (three md5-slice targets per doc modulo the id space, self-loops
+    dropped, targets semi-joined to existing docs), single-sourced
+    between q_link_pagerank and q_hits_scores. ``base`` is (doc_id, h),
+    ``sc`` the 1-row (mx, n) scalar frame, ``edges`` (src, dst)."""
+    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
+    base = d.select("doc_id", F.md5("text").alias("h"))
+    sc = base.agg(
+        F.max("doc_id").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    e0 = (
+        base.crossJoin(sc)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.conv(F.substring("h", off, 6), 16, 10).cast(
+                                "long"
+                            ),
+                            F.col("mx") + 1,
+                        )
+                        for off in (1, 7, 13)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+    edges = e0.join(
+        base.select(F.col("doc_id").alias("dst")), "dst", "leftsemi"
+    )
+    return base, sc, edges
+
+
 def q_link_pagerank(spark, sf_dir, k: int = 3, damping: float = 0.85):
     """Link-graph PageRank (the crawl-graph quality signal web-scale
     corpus pipelines feed into document scoring — Page et al. 1999,
@@ -4365,36 +4404,7 @@ def q_link_pagerank(spark, sf_dir, k: int = 3, damping: float = 0.85):
     scale = 10 ** 15
     num = int(round(damping * 100))  # 85
     rem = 100 - num  # 15
-    d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
-    base = d.select("doc_id", F.md5("text").alias("h"))
-    sc = base.agg(
-        F.max("doc_id").alias("mx"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    e0 = (
-        base.crossJoin(sc)
-        .select(
-            F.col("doc_id").alias("src"),
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.conv(F.substring("h", off, 6), 16, 10).cast(
-                                "long"
-                            ),
-                            F.col("mx") + 1,
-                        )
-                        for off in (1, 7, 13)
-                    ]
-                )
-            ).alias("dst"),
-        )
-        .filter(F.col("dst") != F.col("src"))
-        .distinct()
-    )
-    edges = e0.join(
-        base.select(F.col("doc_id").alias("dst")), "dst", "leftsemi"
-    )
+    base, sc, edges = _content_link_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = base.select("doc_id").crossJoin(sc).select(
         "doc_id", F.expr(f"{scale} div n").alias("r")
@@ -4447,6 +4457,21 @@ def q_link_pagerank(spark, sf_dir, k: int = 3, damping: float = 0.85):
     )
 
 
+# edge-construction CTE chain ending in ``edges`` (src, dst) — the DuckDB
+# twin of _content_link_edges, single-sourced between the link_pagerank
+# and hits_scores oracles
+_LINK_EDGE_CTES = r"""base AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE n_chars > 0),
+sc AS (SELECT max(doc_id) AS mx, count(*)::BIGINT AS n FROM base),
+e0 AS (
+  SELECT DISTINCT doc_id AS src,
+         ('0x' || substr(h, off, 6))::BIGINT % (sc.mx + 1) AS dst
+  FROM base CROSS JOIN sc, (SELECT unnest([1, 7, 13]) AS off)
+  WHERE ('0x' || substr(h, off, 6))::BIGINT % (sc.mx + 1) <> doc_id),
+edges AS (
+  SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM base))"""
+
+
 def _pagerank_oracle_sql(k: int = 3, damping: float = 0.85) -> str:
     """Generated DuckDB twin of q_link_pagerank: the same content-digest
     edge construction + k chained fixed-point iteration CTEs. Integer
@@ -4456,16 +4481,7 @@ def _pagerank_oracle_sql(k: int = 3, damping: float = 0.85) -> str:
     scale = 10 ** 15
     num = int(round(damping * 100))
     rem = 100 - num
-    sql = r"""WITH base AS (
-  SELECT doc_id, md5(text) AS h FROM documents WHERE n_chars > 0),
-sc AS (SELECT max(doc_id) AS mx, count(*)::BIGINT AS n FROM base),
-e0 AS (
-  SELECT DISTINCT doc_id AS src,
-         ('0x' || substr(h, off, 6))::BIGINT % (sc.mx + 1) AS dst
-  FROM base CROSS JOIN sc, (SELECT unnest([1, 7, 13]) AS off)
-  WHERE ('0x' || substr(h, off, 6))::BIGINT % (sc.mx + 1) <> doc_id),
-edges AS (
-  SELECT src, dst FROM e0 WHERE dst IN (SELECT doc_id FROM base)),
+    sql = f"""WITH {_LINK_EDGE_CTES},
 outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
 """
     sql += (
@@ -4497,6 +4513,120 @@ FROM r{k} r CROSS JOIN sc
 
 
 _ORACLE_PAGERANK = _pagerank_oracle_sql()
+
+
+_HITS_SCALE = 10 ** 6
+_HITS_K = 3
+
+
+def q_hits_scores(spark, sf_dir, k: int = _HITS_K):
+    """HITS hub/authority scores (Kleinberg 1999, public method) over
+    the SAME content-digest link graph link_pagerank consumes
+    (single-sourced _content_link_edges) — the complementary link
+    signal: PageRank ranks endorsement mass, HITS separates pages that
+    POINT at good content (hubs) from pages pointed AT (authorities).
+
+    Arithmetic is the repo's fixed-point discipline with a twist: the
+    classic per-iteration normalization would need a (score * scale) //
+    total product that overflows int64 at adversarial in-degrees, so
+    the k=3 power iteration runs UNNORMALIZED on exact BIGINT mass
+    (h0 = 1e6 per node; a_i = sum of in-neighbor hubs; h_i = sum of
+    out-neighbor fresh authorities) and normalizes ONCE at the end to
+    mean 1.0 in doubles from the exact integer totals — bit-identical
+    across engines (DuckDB's INT128 sums cast ::BIGINT). Magnitudes
+    grow as (avg degree)^(2k) * 1e6 ~ 1e11 on digest graphs; a
+    pathological hot node overflows int64 loudly under ANSI mode rather
+    than silently wrapping (documented contract, same posture as the
+    CC decimal(38,0) choice).
+
+    100 TB shape: each half-step is edges ⋈ scores (node-keyed hash
+    join) folding into a node-keyed groupBy with map-side partials;
+    scores stay node-sized; the two normalization totals are 1-row
+    aggregates crossJoined back (the bounded-scalar contract). k fixed
+    and small, plan stays shallow (the pagerank localCheckpoint note
+    applies to many-iteration runs)."""
+    base, sc, edges = _content_link_edges(spark, sf_dir)
+    nodes = base.select("doc_id")
+    hubs = nodes.select(
+        "doc_id", F.lit(_HITS_SCALE).cast("long").alias("s")
+    )
+    auths = None
+    for _ in range(k):
+        auths = (
+            edges.join(
+                hubs.select(F.col("doc_id").alias("src"), "s"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("s").alias("s"))
+            .select(F.col("dst").alias("doc_id"), "s")
+        )
+        hubs = (
+            edges.join(
+                auths.select(F.col("doc_id").alias("dst"), "s"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("s").alias("s"))
+            .select(F.col("src").alias("doc_id"), "s")
+        )
+    a_tot = auths.agg(F.sum("s").cast("long").alias("ta"))
+    h_tot = hubs.agg(F.sum("s").cast("long").alias("th"))
+    return (
+        nodes.join(auths.withColumnRenamed("s", "a"), "doc_id", "left")
+        .join(hubs.withColumnRenamed("s", "hb"), "doc_id", "left")
+        .crossJoin(sc)
+        .crossJoin(a_tot)
+        .crossJoin(h_tot)
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("a"), F.lit(0)).cast("double")
+                * F.col("n").cast("double")
+                / F.col("ta").cast("double"),
+                4,
+            ).alias("authority"),
+            F.round(
+                F.coalesce(F.col("hb"), F.lit(0)).cast("double")
+                * F.col("n").cast("double")
+                / F.col("th").cast("double"),
+                4,
+            ).alias("hub"),
+        )
+    )
+
+
+def _hits_oracle_sql(k: int = _HITS_K) -> str:
+    """Generated DuckDB twin of q_hits_scores: shared edge CTEs + k
+    chained unnormalized BIGINT half-steps + the final mean-1.0
+    normalization in doubles."""
+    sql = f"WITH {_LINK_EDGE_CTES},\n"
+    sql += f"h0 AS (SELECT doc_id, {_HITS_SCALE}::BIGINT AS s FROM base)"
+    for i in range(k):
+        sql += f""",
+a{i + 1} AS (
+  SELECT e.dst AS doc_id, sum(h.s)::BIGINT AS s
+  FROM edges e JOIN h{i} h ON h.doc_id = e.src
+  GROUP BY e.dst),
+h{i + 1} AS (
+  SELECT e.src AS doc_id, sum(a.s)::BIGINT AS s
+  FROM edges e JOIN a{i + 1} a ON a.doc_id = e.dst
+  GROUP BY e.src)"""
+    sql += f""",
+ta AS (SELECT sum(s)::BIGINT AS ta FROM a{k}),
+th AS (SELECT sum(s)::BIGINT AS th FROM h{k})
+SELECT b.doc_id,
+       round(coalesce(a.s, 0)::DOUBLE * sc.n::DOUBLE / ta.ta::DOUBLE, 4)
+         AS authority,
+       round(coalesce(h.s, 0)::DOUBLE * sc.n::DOUBLE / th.th::DOUBLE, 4)
+         AS hub
+FROM base b
+LEFT JOIN a{k} a ON a.doc_id = b.doc_id
+LEFT JOIN h{k} h ON h.doc_id = b.doc_id
+CROSS JOIN sc CROSS JOIN ta CROSS JOIN th
+"""
+    return sql
+
+
+_ORACLE_HITS = _hits_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -6314,6 +6444,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
         q_cosine_threshold_report,
         _ORACLE_COSINE_REPORT,
     ),
+    "hits_scores": (q_hits_scores, _ORACLE_HITS),
 }
 
 

@@ -792,6 +792,15 @@ def test_r07_ops_plan_shapes(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "partial" in plan.lower(), plan
 
+    # hits_scores: node-keyed hash joins + groupBys, never a global sort,
+    # no corpus-sized broadcast forced by hint
+    from html_sanitizer_spark.queries import q_hits_scores
+
+    plan = _plan(q_hits_scores(spark, SF))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan  # 1-row crossJoins only
+
 
 def test_r07_ops_prune_their_scans(spark):
     """Column pruning reaches the parquet scan: token_budget_report reads

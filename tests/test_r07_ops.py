@@ -294,6 +294,54 @@ def test_gopher_rules_bind_on_designed_subsets(spark):
 
 
 # --------------------------------------------------------------------------
+# hits_scores
+# --------------------------------------------------------------------------
+
+def test_hits_pure_python_reimplementation(spark):
+    """Full pure-Python HITS over independently-reconstructed digest
+    edges: same integer half-steps, same final normalization — catches
+    a direction flip (hub/authority swap), a missed semi-join, or a
+    normalization drift that dual-engine parity can't (both engines
+    share the generated edge SQL)."""
+    from html_sanitizer_spark.queries import q_hits_scores
+
+    docs = [(d, t) for d, t, _, n in _docs_py() if n > 0]
+    mx = max(d for d, _ in docs)
+    n = len(docs)
+    ids = {d for d, _ in docs}
+    edges = set()
+    for d, t in docs:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for off in (0, 6, 12):
+            dst = int(h[off:off + 6], 16) % (mx + 1)
+            if dst != d and dst in ids:
+                edges.add((d, dst))
+    hub = {d: 10 ** 6 for d, _ in docs}
+    auth: dict[int, int] = {}
+    for _ in range(3):
+        auth = {}
+        for s, t in edges:
+            if s in hub:
+                auth[t] = auth.get(t, 0) + hub[s]
+        hub = {}
+        for s, t in edges:
+            if t in auth:
+                hub[s] = hub.get(s, 0) + auth[t]
+    ta, th = sum(auth.values()), sum(hub.values())
+    rows = q_hits_scores(spark, SF).collect()
+    assert len(rows) == n
+    for r in rows:
+        ea = _round4(auth.get(r["doc_id"], 0) * n / ta)
+        eh = _round4(hub.get(r["doc_id"], 0) * n / th)
+        assert abs(r["authority"] - ea) < 1e-9, (r, ea)
+        assert abs(r["hub"] - eh) < 1e-9, (r, eh)
+    # sanity: both signals normalized to mean ~1.0 and not degenerate
+    assert abs(sum(r["authority"] for r in rows) / n - 1.0) < 1e-3
+    assert abs(sum(r["hub"] for r in rows) / n - 1.0) < 1e-3
+    assert len({r["authority"] for r in rows}) > 10
+
+
+# --------------------------------------------------------------------------
 # train_shuffle
 # --------------------------------------------------------------------------
 
