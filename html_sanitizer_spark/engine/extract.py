@@ -40,7 +40,8 @@ import re
 from .parser import parse_fragment
 from .tree import Element
 
-__all__ = ["BOILERPLATE_TAGS", "BLOCK_TAGS", "extract_main", "extract_main_blocks"]
+__all__ = ["BOILERPLATE_TAGS", "BLOCK_TAGS", "collect_anchors",
+           "extract_main", "extract_main_blocks"]
 
 # Structurally-boilerplate subtrees: killed before scoring. script/style
 # are RAWTEXT containers whose payload is never content; the rest are the
@@ -166,3 +167,24 @@ def extract_main(
     """Main-content text of an HTML fragment (see module docstring)."""
     kept, _ = extract_main_blocks(html, max_link_density=max_link_density)
     return separator.join(kept)
+
+
+def collect_anchors(html: str) -> list[tuple[str, str]]:
+    """Document-order (href, normalized anchor text) pairs from the
+    recovery-parsed DOM — the outlink harvest a crawler runs at fetch
+    time (anchor text is the classic relevance signal the link graph
+    carries). The kill list is deliberately NOT applied: nav/footer
+    links are exactly what a link graph wants. Anchors without an href
+    are skipped; nested anchors cannot occur (the recovery parser's
+    implied-end-tag rule forbids them), so no pair is double-counted.
+    Iterative like the rest of the module."""
+    if not html:
+        return []
+    out: list[tuple[str, str]] = []
+    stack = list(reversed(parse_fragment(html)._children))
+    while stack:
+        node = stack.pop()
+        if node.tag == "a" and "href" in node.attrib:
+            out.append((node.attrib["href"], _norm(_subtree_text(node))))
+        stack.extend(reversed(node._children))
+    return out

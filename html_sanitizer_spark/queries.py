@@ -6332,6 +6332,74 @@ WHERE length(trim(text)) > 0
 _ORACLE_WET = _wet_oracle_sql()
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text harvest — the crawler-side outlink extraction that
+    feeds REAL link graphs (link_pagerank/hits run on a digest stand-in;
+    this is the stage that would replace it given crawled HTML): parse
+    the page DOM, collect document-order (href, normalized anchor text)
+    pairs (engine/extract.py::collect_anchors — the kill list is NOT
+    applied, nav/footer links are exactly what a link graph wants), and
+    roll up per target href. Pages are the main_content boilerplate
+    wrap (single-sourced _boilerplate_page), whose anchor population is
+    fully determined by doc_id — the oracle recomputes the rollup from
+    that construction arithmetic, so a dropped nav item, a swallowed
+    farm link, or a mis-normalized anchor text diverges.
+
+    100 TB shape: parse+collect is ONE Arrow-batched pandas UDF hop;
+    the rollup is a groupBy over target hrefs (domain = distinct link
+    targets, with map-side partials) — the exact shape of a production
+    anchor table build."""
+    import pandas as pd
+
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    ).select("doc_id", _boilerplate_page().alias("page"))
+
+    def gen(batches):
+        from .engine.extract import collect_anchors
+
+        for b in batches:
+            out = {"doc_id": [], "href": [], "anchor_text": []}
+            for doc_id, page in zip(b["doc_id"], b["page"]):
+                for href, text in collect_anchors(page):
+                    out["doc_id"].append(int(doc_id))
+                    out["href"].append(href)
+                    out["anchor_text"].append(text)
+            yield pd.DataFrame(out)
+
+    pairs = d.mapInPandas(
+        gen, schema="doc_id long, href string, anchor_text string"
+    )
+    return pairs.groupBy("href").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("anchor_text").alias("distinct_texts"),
+    )
+
+
+# construction arithmetic: the boilerplate page carries exactly these
+# anchors — /nav "Home" x(3 + doc_id%3), the /a /b farm pair on
+# doc_id%3 != 0, and one each of /more "details", /ad "Sponsored",
+# /t "Terms" — for every non-empty doc
+_ORACLE_ANCHOR_TEXTS = """
+WITH d AS (SELECT doc_id FROM documents WHERE length(trim(text)) > 0),
+s AS (SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)::BIGINT AS nf,
+             sum(3 + doc_id % 3)::BIGINT AS navs
+      FROM d)
+SELECT href, n_docs, n_anchors, distinct_texts FROM (
+  SELECT '/nav' AS href, n AS n_docs, navs AS n_anchors,
+         1::BIGINT AS distinct_texts FROM s
+  UNION ALL SELECT '/a', nf, nf, 1::BIGINT FROM s
+  UNION ALL SELECT '/b', nf, nf, 1::BIGINT FROM s
+  UNION ALL SELECT '/more', n, n, 1::BIGINT FROM s
+  UNION ALL SELECT '/ad', n, n, 1::BIGINT FROM s
+  UNION ALL SELECT '/t', n, n, 1::BIGINT FROM s)
+WHERE n_docs > 0
+"""
+
+
 def _warc_oracle_sql() -> str:
     from .functions.warc import HTTP_HEAD
 
@@ -6445,6 +6513,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
         _ORACLE_COSINE_REPORT,
     ),
     "hits_scores": (q_hits_scores, _ORACLE_HITS),
+    "anchor_texts": (q_anchor_texts, _ORACLE_ANCHOR_TEXTS),
 }
 
 

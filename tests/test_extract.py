@@ -176,3 +176,22 @@ def test_density_decision_matches_definition(link_text, body):
     full = f"{link_text} {body}"
     expect_keep = len(link_text) / len(full) <= 0.5
     assert (kept == [full] and dropped == 0) == expect_keep
+
+
+def test_collect_anchors_document_order_and_recovery():
+    from html_sanitizer_spark.engine.extract import collect_anchors
+
+    html = (
+        '<nav><a href="/n">Home</a></nav><p>x <a href="/p">two  words</a>'
+        "</p><a name=only>no href</a>"
+        '<div><a href="/q"><b>bold</b> tail</a></div>'
+    )
+    assert collect_anchors(html) == [
+        ("/n", "Home"), ("/p", "two words"), ("/q", "bold tail"),
+    ]
+    assert collect_anchors("") == []
+    # recovery input: an unclosed anchor adopts following text; a second
+    # <a> implies the first one's end (no nesting, no double count)
+    assert collect_anchors('<a href="/1">one <a href="/2">two') == [
+        ("/1", "one"), ("/2", "two"),
+    ]

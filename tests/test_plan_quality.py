@@ -801,6 +801,14 @@ def test_r07_ops_plan_shapes(spark):
     assert "partial" in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan  # 1-row crossJoins only
 
+    # anchor_texts: one Arrow hop + a href-keyed rollup, no sorts
+    from html_sanitizer_spark.queries import q_anchor_texts
+
+    plan = _plan(q_anchor_texts(spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "partial" in plan.lower(), plan
+
 
 def test_r07_ops_prune_their_scans(spark):
     """Column pruning reaches the parquet scan: token_budget_report reads
