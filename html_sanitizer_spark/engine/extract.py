@@ -41,7 +41,7 @@ from .parser import parse_fragment
 from .tree import Element
 
 __all__ = ["BOILERPLATE_TAGS", "BLOCK_TAGS", "collect_anchors",
-           "extract_main", "extract_main_blocks"]
+           "extract_main", "extract_main_blocks", "meta_robots"]
 
 # Structurally-boilerplate subtrees: killed before scoring. script/style
 # are RAWTEXT containers whose payload is never content; the rest are the
@@ -167,6 +167,33 @@ def extract_main(
     """Main-content text of an HTML fragment (see module docstring)."""
     kept, _ = extract_main_blocks(html, max_link_density=max_link_density)
     return separator.join(kept)
+
+
+def meta_robots(html: str) -> frozenset:
+    """Directives from every ``<meta name=robots content=...>`` in the
+    DOM (crawl-politeness gate: noindex pages must not enter a corpus).
+    Per the HTML spec the name value is ASCII-case-insensitive and the
+    content is a comma-separated directive list — both normalized here;
+    multiple robots metas union (the conservative reading). Attribute
+    NAMES are already lowercased by the tokenizer; VALUES keep case and
+    are lowered here."""
+    if not html:
+        return frozenset()
+    dirs: set = set()
+    stack = list(reversed(parse_fragment(html)._children))
+    while stack:
+        node = stack.pop()
+        if (
+            node.tag == "meta"
+            and node.attrib.get("name", "").lower() == "robots"
+        ):
+            dirs.update(
+                d.strip().lower()
+                for d in node.attrib.get("content", "").split(",")
+                if d.strip()
+            )
+        stack.extend(reversed(node._children))
+    return frozenset(dirs)
 
 
 def collect_anchors(html: str) -> list[tuple[str, str]]:

@@ -6400,6 +6400,78 @@ WHERE n_docs > 0
 """
 
 
+def q_robots_meta_filter(spark, sf_dir):
+    """Robots-meta politeness gate — the crawl-compliance stage every
+    public corpus pipeline runs (Common Crawl marks and downstream
+    builds drop noindex pages; public practice): parse the page DOM and
+    honor ``<meta name=robots>`` directives (engine/extract.py::
+    meta_robots — name matched case-insensitively, content split on
+    commas, multiple metas unioned).
+
+    Construction: every page carries a benign viewport meta (must NOT
+    trip the gate); doc_id%9 pages prepend a robots meta in MIXED case
+    ('NoIndex, nofollow') and doc_id%15 pages a second one ('noarchive')
+    — the %45 overlap exercises the union. The oracle replays the
+    arithmetic: a swallowed meta, case-sensitive match, or directive
+    mis-split diverges.
+
+    100 TB shape: ONE Arrow-batched hop, zero shuffles (only _spread's
+    fan-out); composes in front of extraction exactly where a crawler
+    applies it."""
+    import pandas as pd
+
+    d = _spread(
+        spark,
+        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit('<meta name="ROBOTS" content="NoIndex, nofollow">'),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 15 == 0,
+                F.lit('<meta name="robots" content="noarchive">'),
+            ).otherwise(F.lit("")),
+            F.lit('<meta name="viewport" content="width=1">'),
+            _boilerplate_page(),
+        ).alias("page"),
+    )
+
+    def gen(batches):
+        from .engine.extract import meta_robots
+
+        for b in batches:
+            out = {"doc_id": [], "noindex": [], "nofollow": [],
+                   "noarchive": [], "keep": []}
+            for doc_id, page in zip(b["doc_id"], b["page"]):
+                dirs = meta_robots(page)
+                out["doc_id"].append(int(doc_id))
+                out["noindex"].append(int("noindex" in dirs))
+                out["nofollow"].append(int("nofollow" in dirs))
+                out["noarchive"].append(int("noarchive" in dirs))
+                out["keep"].append(int("noindex" not in dirs))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        gen,
+        schema="doc_id long, noindex int, nofollow int, noarchive int, "
+               "keep int",
+    )
+
+
+_ORACLE_ROBOTS_META = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)::INT AS noindex,
+       (CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)::INT AS nofollow,
+       (CASE WHEN doc_id % 15 = 0 THEN 1 ELSE 0 END)::INT AS noarchive,
+       (CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END)::INT AS keep
+FROM documents
+WHERE length(trim(text)) > 0
+"""
+
+
 def _warc_oracle_sql() -> str:
     from .functions.warc import HTTP_HEAD
 
@@ -6514,6 +6586,7 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "hits_scores": (q_hits_scores, _ORACLE_HITS),
     "anchor_texts": (q_anchor_texts, _ORACLE_ANCHOR_TEXTS),
+    "robots_meta_filter": (q_robots_meta_filter, _ORACLE_ROBOTS_META),
 }
 
 

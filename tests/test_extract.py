@@ -195,3 +195,16 @@ def test_collect_anchors_document_order_and_recovery():
     assert collect_anchors('<a href="/1">one <a href="/2">two') == [
         ("/1", "one"), ("/2", "two"),
     ]
+
+
+def test_meta_robots_directives():
+    from html_sanitizer_spark.engine.extract import meta_robots
+
+    assert meta_robots(
+        '<meta name="ROBOTS" content="NoIndex, nofollow">'
+        '<meta name="viewport" content="width=1"><p>x</p>'
+        '<meta name="robots" content=" noarchive ">'
+    ) == frozenset({"noindex", "nofollow", "noarchive"})
+    assert meta_robots('<meta content="noindex">') == frozenset()
+    assert meta_robots("") == frozenset()
+    assert meta_robots('<meta name="robots" content=",, ,">') == frozenset()

@@ -809,6 +809,15 @@ def test_r07_ops_plan_shapes(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "partial" in plan.lower(), plan
 
+    # robots_meta_filter: one Arrow hop, zero keyed shuffles
+    from html_sanitizer_spark.queries import q_robots_meta_filter
+
+    plan = _plan(q_robots_meta_filter(spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") <= 1, plan  # _spread fan-out only
+
 
 def test_r07_ops_prune_their_scans(spark):
     """Column pruning reaches the parquet scan: token_budget_report reads
