@@ -34,8 +34,10 @@ import sys
 
 from html_sanitizer_spark.engine.core import sanitize
 from html_sanitizer_spark.engine.extract import (
+    collect_anchors,
     extract_main,
     extract_main_blocks,
+    meta_robots,
 )
 from html_sanitizer_spark.engine.settings import Settings
 
@@ -125,6 +127,12 @@ CLASSES: dict[str, list[str]] = {
         "</blockquote>", "<h3>", "</h3>", "<main>", "</main>",
         "<a href='/x'>", "</a>", "link ", "longer anchor text here ",
         "body text ", "tail after kill ", "x", " ", "＜nav＞",
+        # r07: the ingest-gate surfaces walk this same DOM — meta soup
+        # exercises meta_robots (case, split, fragments), bare/valueless
+        # hrefs exercise collect_anchors
+        '<meta name=robots content="noindex, nofollow">',
+        "<meta name=ROBOTS", " content=NOARCHIVE>", "<meta>", "<a href>",
+        "<a href=''>", '<meta name="robots" content=",,">',
     ],
     "nfkc_smuggle": [
         "＜", "＞", "﹤", "﹥", "＆", "ｓcript", "ａ", "ｐ", "<", ">", "&",
@@ -164,6 +172,15 @@ def _check_one(args: tuple[str, int, int]) -> tuple[str, str] | None:
     html = "".join(rng.choice(parts) for _ in range(rng.randint(1, max_parts)))
     s = _CONFIGS[seed % len(_CONFIGS)]
     try:
+        anchors = collect_anchors(html)
+        if any(
+            h is None or t is None or t != _WS_RUN_RE.sub(" ", t).strip()
+            for h, t in anchors
+        ):
+            return (html, f"anchor contract: {anchors[:5]!r}")
+        robots = meta_robots(html)
+        if any((not d) or d != d.strip().lower() for d in robots):
+            return (html, f"robots contract: {sorted(robots)!r}")
         kept, dropped = extract_main_blocks(html)
         # E1 invariants: totality over arbitrary soup; every kept block is
         # non-empty, whitespace-NORMALIZED text (stripped, no internal
