@@ -6078,8 +6078,10 @@ def q_gopher_filters(spark, sf_dir):
     return out.withColumn("keep", keep.cast("int"))
 
 
-_ORACLE_GOPHER = f"""
-WITH gbase AS (
+# CTE chain ending in ``gout`` (all gopher_filters output columns) —
+# single-sourced between the standalone oracle and the composed
+# crawl_curation_pipeline oracle
+_GOPHER_CTES = f"""gbase AS (
   SELECT doc_id, string_split(trim(text), ' ') AS w0
   FROM documents WHERE len(trim(text)) > 0),
 gw AS (
@@ -6107,15 +6109,22 @@ gfeat AS (
                / len(w), 4) AS alpha_frac,
          len(list_distinct(list_filter(w,
                t -> list_contains({_STOP_SQL}, t))))::INT AS n_stop_types
-  FROM gw)
+  FROM gw),
+gout AS (
+  SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         n_stop_types,
+         (CASE WHEN n_words >= 30 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                AND n_stop_types >= 2
+               THEN 1 ELSE 0 END)::INT AS keep
+  FROM gfeat)"""
+
+_ORACLE_GOPHER = f"""
+WITH {_GOPHER_CTES}
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
-       n_stop_types,
-       (CASE WHEN n_words >= 30 AND n_words <= 100000
-              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-              AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-              AND n_stop_types >= 2
-             THEN 1 ELSE 0 END)::INT AS keep
-FROM gfeat
+       n_stop_types, keep
+FROM gout
 """
 
 
@@ -6472,6 +6481,57 @@ WHERE length(trim(text)) > 0
 """
 
 
+def q_crawl_curation_pipeline(spark, sf_dir):
+    """The r07 ingest story composed end-to-end, one row per document:
+    the REAL robots-meta DOM gate (q_robots_meta_filter's Arrow hop),
+    the Gopher rule battery (q_gopher_filters), and the global quality
+    tier (q_quality_tiers) — selection = robots-clean AND gopher-keep
+    AND tier <= 1, the head-plus-middle cut a curated pretraining mix
+    ships. Every stage is the registry operator itself (not a re-
+    derivation) and the oracle composes the SAME single-sourced CTE
+    bodies (_GOPHER_CTES, _TIER_CTES, the robots id arithmetic), so a
+    drift in any stage diverges here too.
+
+    100 TB shape: three doc-keyed frames (two pure-map, one map + a
+    domain-bounded histogram) joined on doc_id — equi hash joins with
+    map-side rules first, the cheap-gates-before-expensive-stages
+    ordering (robots/gopher prune before anything pair-generating runs
+    downstream); nothing corpus-sized is broadcast or sorted."""
+    robots = q_robots_meta_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("robots_keep")
+    )
+    gopher = q_gopher_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    tiers = q_quality_tiers(spark, sf_dir).select("doc_id", "tier")
+    joined = robots.join(gopher, "doc_id").join(tiers, "doc_id")
+    selected = (
+        (F.col("robots_keep") == 1)
+        & (F.col("gopher_keep") == 1)
+        & (F.col("tier") <= 1)
+    )
+    return joined.select(
+        "doc_id", "robots_keep", "gopher_keep", "tier",
+        selected.cast("int").alias("selected"),
+    )
+
+
+_ORACLE_CRAWL_CURATION = f"""
+WITH {_GOPHER_CTES},
+{_TIER_CTES},
+rmeta AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END)::INT AS robots_keep
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT r.doc_id, r.robots_keep, g.keep AS gopher_keep, t.tier,
+       (CASE WHEN r.robots_keep = 1 AND g.keep = 1 AND t.tier <= 1
+             THEN 1 ELSE 0 END)::INT AS selected
+FROM rmeta r
+JOIN gout g ON g.doc_id = r.doc_id
+JOIN tiered t ON t.doc_id = r.doc_id
+"""
+
+
 def _warc_oracle_sql() -> str:
     from .functions.warc import HTTP_HEAD
 
@@ -6587,6 +6647,10 @@ REGISTRY: dict[str, tuple[Callable, Optional[str]]] = {
     "hits_scores": (q_hits_scores, _ORACLE_HITS),
     "anchor_texts": (q_anchor_texts, _ORACLE_ANCHOR_TEXTS),
     "robots_meta_filter": (q_robots_meta_filter, _ORACLE_ROBOTS_META),
+    "crawl_curation_pipeline": (
+        q_crawl_curation_pipeline,
+        _ORACLE_CRAWL_CURATION,
+    ),
 }
 
 

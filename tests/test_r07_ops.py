@@ -293,6 +293,40 @@ def test_gopher_rules_bind_on_designed_subsets(spark):
     assert kept, "no clean doc survives — thresholds are miscalibrated"
 
 
+def test_crawl_curation_pipeline_composes_its_stages(spark):
+    """Per-doc recomposition from the three standalone operators — the
+    composed op must never diverge from its own stages."""
+    from html_sanitizer_spark.queries import (
+        q_crawl_curation_pipeline,
+        q_gopher_filters,
+        q_robots_meta_filter,
+    )
+
+    robots = {
+        r["doc_id"]: r["keep"]
+        for r in q_robots_meta_filter(spark, SF).collect()
+    }
+    gopher = {
+        r["doc_id"]: r["keep"] for r in q_gopher_filters(spark, SF).collect()
+    }
+    tiers = {r["doc_id"]: r["tier"] for r in q_quality_tiers(spark, SF).collect()}
+    rows = q_crawl_curation_pipeline(spark, SF).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        assert r["robots_keep"] == robots[d]
+        assert r["gopher_keep"] == gopher[d]
+        assert r["tier"] == tiers[d]
+        assert r["selected"] == int(
+            robots[d] == 1 and gopher[d] == 1 and tiers[d] <= 1
+        )
+    # the composition binds: some docs fail each gate, some survive all
+    assert any(r["selected"] == 1 for r in rows)
+    assert any(r["robots_keep"] == 0 for r in rows)
+    assert any(r["gopher_keep"] == 0 for r in rows)
+    assert any(r["tier"] == 2 for r in rows)
+
+
 # --------------------------------------------------------------------------
 # hits_scores
 # --------------------------------------------------------------------------
