@@ -818,6 +818,15 @@ def test_r07_ops_plan_shapes(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("Exchange") <= 1, plan  # _spread fan-out only
 
+    # crawl_curation_pipeline: the real robots Arrow hop + doc-keyed
+    # equi joins, never a range/global sort or cartesian product
+    from html_sanitizer_spark.queries import q_crawl_curation_pipeline
+
+    plan = _plan(q_crawl_curation_pipeline(spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
 
 def test_r07_ops_prune_their_scans(spark):
     """Column pruning reaches the parquet scan: token_budget_report reads
