@@ -6016,10 +6016,19 @@ def q_gopher_filters(spark, sf_dir):
     scan — array builds, filters, and scalar flags; zero joins, zero
     shuffles. Like C4, it composes in FRONT of dedup (cheap map rules
     first, pair-generating stages after)."""
-    d = _spread(
-        spark,
-        _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+    return gopher_feature_frame(
+        _spread(
+            spark,
+            _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0),
+        )
     )
+
+
+def gopher_feature_frame(d: DataFrame) -> DataFrame:
+    """The Gopher rule battery as a frame transform over (doc_id, text)
+    rows — single-sourced between the batch operator and the streaming
+    gate (streaming/stream_job.py::stream_quality_gate): one map-side
+    projection, so it applies to a micro-batch exactly as to a scan."""
     w0 = F.split(F.trim(F.col("text")), " ")
     n0 = F.size(w0)
     empty = F.array().cast("array<string>")

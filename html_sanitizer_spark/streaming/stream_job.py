@@ -122,6 +122,43 @@ def stream_sanitize_parquet_dir(
     return writer.start()
 
 
+def stream_quality_gate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming Gopher quality gate: score every arriving document with
+    the SAME map-side rule battery the batch operator runs
+    (queries.gopher_feature_frame — single-sourced, so batch and stream
+    can never drift) and emit the full feature row + keep bit per doc.
+
+    The gate is STATELESS (pure map over each micro-batch — the
+    cheap-rules-first stage a streaming ingest runs in front of the
+    stateful dedup operators in this module), so there is no watermark
+    and no state store: throughput is scan-bound exactly like batch.
+    Output lands epoch-partitioned (write_epoch) for idempotent replay,
+    matching the module-wide exactly-once contract."""
+    src = spark.readStream.schema(DEDUP_FEED_SCHEMA).parquet(input_dir)
+    from ..queries import gopher_feature_frame
+
+    gated = gopher_feature_frame(
+        src.filter(F.length(F.trim(F.col("text"))) > 0)
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        write_epoch(batch_df, output_dir, epoch_id)
+
+    writer = (
+        gated.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_window_rollup(
     spark: SparkSession,
     input_dir: str,

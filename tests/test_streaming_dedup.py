@@ -154,3 +154,41 @@ def test_stream_dedup_incremental_matches_batch_index_probe(spark, tmp_path):
         if r["keep"] == 1
     )
     assert got == want
+
+
+def test_stream_quality_gate_matches_batch_battery(spark, tmp_path):
+    """Differential: the streaming Gopher gate must emit EXACTLY the
+    batch rule battery's rows for the same documents, across two
+    availableNow runs (stateless map — replay-idempotent per epoch)."""
+    from html_sanitizer_spark.queries import gopher_feature_frame
+    from html_sanitizer_spark.streaming.stream_job import (
+        read_stream_output,
+        stream_quality_gate,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("qin", "qout", "qck"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 80)
+    )
+    t = datetime(2024, 1, 1, 12, 0)
+    rows = [(r["doc_id"], t, r["text"]) for r in docs.collect()]
+    for chunk in (rows[:40], rows[40:]):
+        _write_feed(spark, in_dir, chunk)
+        q = stream_quality_gate(spark, in_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["mean_word_len"], r["symbol_ratio"],
+                      r["alpha_frac"], r["n_stop_types"], r["keep"])
+        for r in read_stream_output(spark, out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_words"], r["mean_word_len"], r["symbol_ratio"],
+                      r["alpha_frac"], r["n_stop_types"], r["keep"])
+        for r in gopher_feature_frame(
+            docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        ).collect()
+    }
+    assert got == want and got
