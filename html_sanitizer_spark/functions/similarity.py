@@ -55,9 +55,15 @@ def auto_n_bits(
 
 
 def unit_vec(col):
+    # r08: norm evaluated ONCE per row via array_repeat — the old
+    # ``transform(dbl, x -> x / norm)`` re-ran the captured norm
+    # aggregate on every element (O(dim^2) interpreted steps per row,
+    # multiplied by every syntactic reference; see _unit in queries.py
+    # and OPTIMIZATION_r08.md). Same per-element arithmetic, same output.
     dbl = F.transform(col, lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, v: a + v * v))
-    return F.transform(dbl, lambda x: x / norm)
+    return F.zip_with(dbl, F.array_repeat(norm, F.size(dbl)),
+                      lambda x, n: x / n)
 
 
 def _dot(a, b):

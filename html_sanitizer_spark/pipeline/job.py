@@ -5,17 +5,18 @@ Exploded path (default — skew-proof):
     read (doc_id, spans)
       -> posexplode_outer(spans)                  [no shuffle: explode is
                                                    pipelined into the scan]
-      -> repartition by pmod(xxhash64(doc_id,pos), buckets)
-                                                  [SHUFFLE 1 — salted: a
-                                                   mega-doc's spans spread
+      -> repartition by (doc_id, pos div 256)     [SHUFFLE 1 — chunk-salted:
+                                                   a mega-doc's chunks spread
                                                    over all buckets, so no
-                                                   straggler UDF task]
+                                                   straggler UDF task; <=256
+                                                   spans per doc per task]
       -> sanitize_udf on text-kind spans          [the only JVM<->Python
                                                    Arrow hop]
       -> two-phase reassembly:
-           groupBy(doc_id, salt) partial collect  [SHUFFLE 2a — bounded
-                                                   group size]
-           groupBy(doc_id) merge + array_sort     [SHUFFLE 2b — one row per
+           groupBy(doc_id, _chunk) partial collect [NO shuffle since r08 —
+                                                   already co-partitioned by
+                                                   the salt exchange]
+           groupBy(doc_id) merge + array_sort     [SHUFFLE 2 — one row per
                                                    doc; sort restores span
                                                    order by pos]
 
@@ -57,20 +58,33 @@ def explode_spans(df: DataFrame) -> DataFrame:
 
 def sanitize_exploded(
     exploded: DataFrame, settings=None, salt_buckets: int | None = None,
-    memoize: int = 0, on_error: str = "raise",
+    memoize: int = 0, on_error: str = "raise", chunk_size: int = 256,
 ) -> DataFrame:
     """Apply the sanitize UDF to text-kind spans of an exploded frame.
 
-    ``salt_buckets``: when set, repartitions by a hash of (doc_id, pos) so a
-    mega-document's spans spread across that many tasks before hitting
-    Python — the skew defusal the north_rule requires. The span's own row
-    carries ``pos``, so order needs no co-location.
+    ``salt_buckets``: when set, repartitions by (doc_id, _chunk) where
+    ``_chunk = pos div chunk_size`` — a mega-document's chunks spread
+    across tasks before hitting Python (the skew defusal the north_rule
+    requires; per-task state from any one document is bounded by
+    chunk_size spans, the same bound the reassembly's phase-1 group
+    already imposes). r08 change (guide §2.4 — share one exchange between
+    operations keyed the same way): salting by the REASSEMBLY's own chunk
+    key instead of hash(doc_id, pos) means the phase-1
+    groupBy(doc_id, _chunk) downstream is already co-partitioned and
+    needs NO exchange — one full shuffle of the sanitized spans removed
+    from the pipeline (plans/r08/sanitize_docs_exploded_{before,after}.txt:
+    3 Exchanges -> 2). The span's own row carries ``pos``, so order needs
+    no co-location; output is span-for-span identical (tier-1 replay +
+    sanitize_structure/span oracles unchanged).
     """
     udf = make_sanitize_udf(settings, memoize=memoize, on_error=on_error)
+    salted = False
     if salt_buckets:
-        exploded = exploded.repartition(
-            salt_buckets, F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt_buckets))
-        )
+        exploded = exploded.withColumn(
+            "_chunk",
+            (F.col("pos").cast("long") / F.lit(chunk_size)).cast("long"),
+        ).repartition(salt_buckets, "doc_id", "_chunk")
+        salted = True
     applies = (F.col("span.kind") == F.lit("text")) & F.col("span.text").isNotNull()
     if on_error == "raise":
         clean = F.when(applies, udf(F.col("span.text"))).otherwise(
@@ -95,6 +109,9 @@ def sanitize_exploded(
     return exploded.select(
         "doc_id",
         "pos",
+        # carry the salt/chunk key through so reassemble_spans can group
+        # on the exact attribute the exchange already partitioned by
+        *(["_chunk"] if salted else []),
         # null-span guard covers both the posexplode_outer empty-doc row
         # (pos null too) and a null ELEMENT inside a spans array (pos set):
         # either stays null instead of being rebuilt as a struct of null
@@ -118,16 +135,28 @@ def reassemble_spans(
     strictly cheaper than hash-salted partials (which shred every doc into
     single-span chunks). collect_list skips null spans, so empty docs come
     back with an empty array rather than [null].
+
+    When the incoming frame already carries a ``_chunk`` column (the
+    chunk-aligned salt sanitize_exploded applies since r08), phase 1
+    groups on that exact attribute: the frame is hash-partitioned by
+    (doc_id, _chunk), so the partial collect needs no exchange of its own
+    — the reassembly costs ONE shuffle (the per-doc merge) instead of two.
     """
     keyed = F.when(
         F.col("pos").isNotNull(),
         F.struct(F.col("pos").alias("pos"), F.col("span").alias("span")),
     )
     if two_phase:
-        partial = clean.groupBy(
-            "doc_id",
-            (F.col("pos").cast("long") / F.lit(chunk_size)).cast("long").alias("_chunk"),
-        ).agg(F.sort_array(F.collect_list(keyed)).alias("chunk_arr"))
+        chunk_key = (
+            F.col("_chunk")
+            if "_chunk" in clean.columns
+            else (F.col("pos").cast("long") / F.lit(chunk_size))
+            .cast("long")
+            .alias("_chunk")
+        )
+        partial = clean.groupBy("doc_id", chunk_key).agg(
+            F.sort_array(F.collect_list(keyed)).alias("chunk_arr")
+        )
         merged = partial.groupBy("doc_id").agg(
             F.flatten(
                 F.transform(
@@ -243,10 +272,14 @@ def extract_spans(
     if salt_buckets == "auto":
         salt_buckets = spark.sparkContext.defaultParallelism * 4
     exploded = explode_spans(df)
+    salted = False
     if salt_buckets:
-        exploded = exploded.repartition(
-            salt_buckets, F.pmod(F.xxhash64("doc_id", "pos"), F.lit(salt_buckets))
-        )
+        # chunk-aligned salt (r08): same key the reassembly groups on, so
+        # phase 1 reuses this exchange — see sanitize_exploded
+        exploded = exploded.withColumn(
+            "_chunk", (F.col("pos").cast("long") / F.lit(256)).cast("long")
+        ).repartition(salt_buckets, "doc_id", "_chunk")
+        salted = True
     udf = make_extract_udf(max_link_density=max_link_density)
     applies = (F.col("span.kind") == F.lit("text")) & F.col(
         "span.text"
@@ -263,6 +296,7 @@ def extract_spans(
     ex = exploded.select(
         "doc_id",
         "pos",
+        *(["_chunk"] if salted else []),
         F.when(F.col("span").isNotNull(), new_span).alias("span"),
     )
     return reassemble_spans(ex, two_phase=two_phase)

@@ -220,20 +220,29 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_span_roundtrip(spark, sf_dir):
-    """A4/O2: posexplode -> order-restoring collect_list round-trip."""
-    d = _docs(spark, sf_dir)
-    ex = d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
-    )
-    return ex.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda kv: kv["word"],
-            ),
-            " ",
-        ).alias("rebuilt"),
+    """A4/O2 declared semantics: posexplode -> order-restoring collect_list
+    round-trip (the oracle SQL still spells it that way).
+
+    r08 physical rewrite (guide §2.4 — remove shuffles outright): the
+    explode->shuffle->collect_list->sort chain is provably the identity
+    composition on the token array — posexplode enumerates split(text,' ')
+    with its positions and the aggregation re-joins the words ordered by
+    exactly those positions — so the operator computes its result map-side:
+    n_tokens = size(split(..)) (posexplode emits one row per element,
+    including empty strings; split never yields an empty array for non-null
+    text) and rebuilt = array_join(split(..), ' '). The pre-rewrite plan
+    shuffled one row per WORD (~50 rows/doc — at 100TB, a full-corpus
+    token-level exchange) purely to reassemble what the map side already
+    had. Null texts produced no posexplode rows, hence the isNotNull
+    filter. Output is value-identical; the parity gate replays the oracle.
+    The order-restoring reassembly shape itself stays exercised (and
+    plan-gated) in the sanitize pipeline's reassemble_spans."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_join(toks, " ").alias("rebuilt"),
     )
 
 
@@ -320,40 +329,40 @@ def q_dedup_minhash(spark, sf_dir):
     shingle->minhash->band->bucket pipeline, portable because the hash is
     md5. One digest per shingle; the 8 'permutations' are 8 overlapping
     8-hex-char windows of it (distinct min-wise orderings, 8x cheaper than
-    8 keyed digests).
+    8 keyed digests). min over the occurrence multiset equals min over the
+    shingle set, so the signature matches the exploded oracle.
 
-    Entirely MAP-SIDE (reworked r03): the per-doc shingle digests stay an
-    array column and each signature is an array_min over a transform — no
-    explode, no hash-aggregate shuffle. The r02 shape exploded to one row
-    per shingle occurrence and shuffled ~len(text) rows per document just
-    to take 8 mins; at 100TB that shuffle dwarfed the band join this feeds.
-    min over the occurrence multiset equals min over the shingle set, so
-    the signature is unchanged (parity-gated against the exploded oracle)."""
+    Still map-side with zero shuffles (the r03 rework killed the per-
+    shingle explode+aggregate), but the per-gram hashing moved from
+    Catalyst transform/array_min chains — interpreted, one closure call
+    per element, and 8 separate passes over the digest array for the 8
+    signatures — to ONE native-code pass per document (r08, guide §4.2):
+    a mapInArrow kernel (functions/fingerprint.py) hashing with hashlib's
+    C md5 and taking the 8 window-mins off the hexlified digest buffer.
+    Only (doc_id, text) crosses the Python boundary; output band keys are
+    bit-identical (substring windows of lowercase hex), oracle unchanged,
+    parity-gated."""
+    import pyarrow as pa
+
+    from .functions.fingerprint import minhash_bands
+
     d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 3))
-    hashed = d.select(
-        "doc_id",
-        F.expr("transform(sequence(1, greatest(length(text)-2, 1)),"
-               " i -> md5(substring(text, i, 3)))").alias("hs"),
-    )
-    sigs = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.expr(f"transform(hs, h -> substring(h, {3 * j + 1}, 8))")
-            ).alias(f"sig{j}")
-            for j in range(8)
-        ],
-    )
-    bands = sigs.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(
-                f"band{b}"
+
+    def kernel(batches):
+        for batch in batches:
+            names = batch.schema.names
+            texts = batch.column(names.index("text")).to_pylist()
+            b0, b1, b2, b3 = minhash_bands(texts)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index("doc_id"))]
+                + [pa.array(c, pa.string()) for c in (b0, b1, b2, b3)],
+                names=["doc_id", "band0", "band1", "band2", "band3"],
             )
-            for b in range(4)
-        ],
+
+    return d.select("doc_id", "text").mapInArrow(
+        kernel,
+        "doc_id long, band0 string, band1 string, band2 string, band3 string",
     )
-    return bands
 
 
 _ORACLE_MINHASH = """
@@ -1390,17 +1399,36 @@ FROM documents WHERE n_chars > 0
 """
 
 
-def _quality_scored(spark, sf_dir):
+_ALNUM_SPACE = (
+    " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _quality_scored(spark, sf_dir, spread: bool = False):
     """(doc_id, source, n_tokens, punct_ratio, stopword_ratio,
     quality_score) — the map-side quality feature frame, single-sourced
     between q_quality_score, q_quality_tiers, and
-    q_source_quality_report."""
+    q_source_quality_report.
+
+    r08: the punctuation count is ``length(translate(text, alnum+space,
+    ''))`` instead of ``length(text) - length(regexp_replace(text,
+    '[^a-zA-Z0-9 ]', ''))`` — the same integer (chars outside the 63-char
+    set; both count code points), but translate is a per-char set lookup
+    while regexp_replace measured ~50x more task CPU on this host
+    (57 core-s vs ~1 for the sf1.0 table; OPTIMIZATION_r08.md). The
+    oracle keeps the regexp formulation — equivalence is exact, not
+    approximate, and the parity gate replays it. ``spread=True`` fans the
+    single-row-group sf scan out before the feature pass (the headline
+    q_quality_score uses it); q_quality_tiers keeps the plain scan so its
+    zero-exchange plan gate holds."""
     d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    if spread:
+        d = _spread(spark, d)
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     stop = F.size(F.filter(toks, lambda t: F.array_contains(F.expr(_STOP_SPARK), t)))
-    alnum = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
-    punct_ratio = F.round((F.length("text") - alnum) / F.length("text"), 4)
+    punct_n = F.length(F.translate(F.col("text"), _ALNUM_SPACE, ""))
+    punct_ratio = F.round(punct_n / F.length("text"), 4)
     stop_ratio = F.round(stop / n_tokens, 4)
     score = F.round(
         stop_ratio * 0.4
@@ -1417,7 +1445,7 @@ def _quality_scored(spark, sf_dir):
 
 def q_quality_score(spark, sf_dir):
     """Length/punctuation/stopword quality features + composite score."""
-    return _quality_scored(spark, sf_dir).select(
+    return _quality_scored(spark, sf_dir, spread=True).select(
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
         "quality_score",
     )
@@ -1477,33 +1505,40 @@ def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprint: 5-gram digests, min per 5-wide
     rolling window, count distinct fingerprints per doc.
 
-    Entirely MAP-SIDE (reworked r03): the gram digests stay an array
-    column; the rolling min is a transform-with-index over array slices and
-    the rollup is size(array_distinct(...)) — no posexplode, no per-doc
-    window shuffle, no final groupBy. The r02 shape shuffled one row per
-    gram (≈ len(text) rows/doc) twice (window + count_distinct). The
-    trade: a document's whole fingerprint pass runs on one core — the same
-    locality the per-doc window had, without the two exchanges; bounded by
-    the documents table's page-sized texts (a 100MB outlier doc would want
-    the exploded variant back)."""
+    Still map-side and shuffle-free (the r03 rework killed the per-gram
+    explode+window shuffles), but the per-gram work moved from Catalyst
+    higher-order functions to a native-code kernel (r08, guide §4.2):
+    the transform/slice/array_min chain is evaluated INTERPRETED, one
+    closure call per array element, measured at ~12 µs/gram — 4.6 of the
+    operator's 6.0 s at sf1.0 were the rolling-min transform alone
+    (plans/r08/winnow_fingerprint_before.txt + OPTIMIZATION_r08.md). The
+    mapInArrow kernel (functions/fingerprint.py) does the identical md5 +
+    rolling-min + distinct-count in hashlib/numpy at ~1 µs/gram, one
+    Python hop, only (doc_id, text) crossing the boundary. Output is
+    bit-identical (md5 hex order == digest byte order); the DuckDB oracle
+    is unchanged and the parity gate replays it. A document still runs on
+    one core — same locality/trade as before (a 100MB outlier doc would
+    want an exploded variant back)."""
+    import pyarrow as pa
+
+    from .functions.fingerprint import winnow_counts
+
     d = _spread(spark, _docs(spark, sf_dir).filter(F.length("text") >= 5))
-    grams = d.select(
-        "doc_id",
-        F.expr("transform(sequence(1, greatest(length(text)-4, 1)),"
-               " i -> md5(substring(text, i, 5)))").alias("hs"),
-    )
-    # 0-based transform index i covers 1-based gram positions
-    # [max(1, i-3) .. i+1]: a slice of length min(i+1, 5)
-    fps = grams.select(
-        "doc_id",
-        F.expr(
-            "transform(hs, (h, i) ->"
-            " array_min(slice(hs, greatest(i - 3, 1), least(i + 1, 5))))"
-        ).alias("fps"),
-    )
-    return fps.select(
-        "doc_id",
-        F.size(F.array_distinct("fps")).cast("long").alias("n_fingerprints"),
+
+    def kernel(batches):
+        for batch in batches:
+            names = batch.schema.names
+            texts = batch.column(names.index("text")).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("doc_id")),
+                    pa.array(winnow_counts(texts), pa.int64()),
+                ],
+                names=["doc_id", "n_fingerprints"],
+            )
+
+    return d.select("doc_id", "text").mapInArrow(
+        kernel, "doc_id long, n_fingerprints long"
     )
 
 
@@ -1534,32 +1569,113 @@ def _dot(a, b):
 
 
 def _unit(col):
-    """L2-normalize an array<float> column (computed once per row, so the
-    per-pair cosine is a single dot product)."""
+    """L2-normalize an array<float> column.
+
+    r08 fix (measured O(dim^2) -> O(dim)): the old form captured the norm
+    AGGREGATE inside the division lambda (``transform(dbl, x -> x/norm)``)
+    — Catalyst re-evaluates a captured non-lambda subexpression on EVERY
+    lambda invocation, so each row paid dim x (2·dim) interpreted steps,
+    and every syntactic reference to the unit expression paid it again
+    (ann_ivf's probe side measured 79 core-seconds for a 20k-row table
+    through this). ``array_repeat(norm, dim)`` evaluates the norm ONCE per
+    row; the zip_with lambda then touches only its own variables. The
+    per-element arithmetic (x / norm, same doubles, same order) is
+    unchanged — bit-identical output, parity-gated."""
     dbl = F.transform(col, lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda acc, v: acc + v * v))
-    return F.transform(dbl, lambda x: x / norm)
+    return F.zip_with(dbl, F.array_repeat(norm, F.size(dbl)),
+                      lambda x, n: x / n)
+
+
+# Driver embeddings are fixed 64-wide at every sf (verified across
+# sf0.001..sf1.0) — the same package-wide convention _SEM_DIM and
+# _dot_sql(dim=64) already rely on for their oracles.
+_EMB_DIM = 64
 
 
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (k=3) for 5 query vectors — the exact
-    baseline for ANN. Broadcast the tiny query side; score all candidates
-    map-side; per-query top-k via window."""
+    baseline for ANN. The tiny query side ships to every task by closure
+    (the ann_ivf centroid-literal pattern: a bounded 5-row collect, never
+    an O(corpus) driver pull); candidates are scored in ONE mapInArrow
+    numpy kernel; per-query top-k via window.
+
+    r08 rewrite (guide §4.2): the per-pair zip_with+aggregate dot was an
+    interpreted Catalyst HOF chain (~15 µs/pair) and the broadcast-
+    nested-loop shape materialized both 64-dim arrays per scored row. A
+    flat-column codegen variant was 2x faster warm but cost ~2 s of
+    janino compilation per cold plan (128-wide projections) — a net loss
+    for short-lived jobs. The numpy kernel scores a whole Arrow batch
+    per dimension-step with LEFT-ASSOCIATIVE accumulation — the same
+    summation order as F.aggregate and DuckDB's list_sum, element-wise
+    ufuncs only, no pairwise reduction — so every double is bit-identical
+    to the oracle's; rounding stays JVM-side. Only (vec_id, embedding)
+    crosses the boundary; the window input is 5 skinny rows per
+    candidate."""
+    import numpy as np
+    import pyarrow as pa
+
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), _unit(F.col("embedding")).alias("q_emb")
+    q_rows = sorted(
+        bounded_collect(
+            e.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
+            8, "ann-cosine 5-vector query side",
+        ),
+        key=lambda r: r["vec_id"],
     )
-    c = e.select(
-        F.col("vec_id").alias("cid"), _unit(F.col("embedding")).alias("c_emb")
+    qids = [int(r["vec_id"]) for r in q_rows]
+    q_units = []
+    for r in q_rows:
+        d = [float(x) for x in r["embedding"]]
+        acc = 0.0
+        for x in d:
+            acc = acc + x * x
+        # math.sqrt is the correctly-rounded IEEE sqrt — bit-equal to
+        # JVM Math.sqrt and np.sqrt (x**0.5 would go through pow)
+        import math
+
+        norm = math.sqrt(acc)
+        q_units.append([x / norm for x in d])
+
+    def kernel(batches):
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index("vec_id"))
+            emb = batch.column(names.index("embedding"))
+            n = len(ids)
+            mat = (
+                emb.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64).reshape(n, _EMB_DIM)
+            )
+            # left-assoc across dims, vectorized across rows — bit-equal
+            # to the sequential JVM/DuckDB fold
+            acc = mat[:, 0] * mat[:, 0]
+            for i in range(1, _EMB_DIM):
+                acc = acc + mat[:, i] * mat[:, i]
+            unit = mat / np.sqrt(acc)[:, None]
+            cols = [ids]
+            for q in q_units:
+                s = unit[:, 0] * q[0]
+                for i in range(1, _EMB_DIM):
+                    s = s + unit[:, i] * q[i]
+                cols.append(pa.array(s, pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=["cid"] + [f"s{j}" for j in range(len(q_units))]
+            )
+
+    wide = e.select("vec_id", "embedding").mapInArrow(
+        kernel,
+        "cid long, " + ", ".join(f"s{j} double" for j in range(len(qids))),
+    )
+    stack_args = ", ".join(
+        f"CAST({qid} AS BIGINT), s{j}" for j, qid in enumerate(qids)
     )
     scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("qid") != F.col("cid"))
-        .select(
-            "qid", "cid",
-            F.round(_dot(F.col("q_emb"), F.col("c_emb")), 6).alias("score6"),
+        wide.selectExpr(
+            "cid", f"stack({len(qids)}, {stack_args}) AS (qid, score_raw)"
         )
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(F.col("score_raw"), 6).alias("score6"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score6"), F.asc("cid"))
     return (
@@ -1598,7 +1714,16 @@ def _blocked_cosine_pairs(spark, sf_dir):
     q_cosine_threshold_report. Block-size guard: labels with > 1000
     vectors are dropped before the self-join — a hot label makes the
     block quadratic; at scale such blocks must be re-blocked (LSH within
-    label) rather than paired directly."""
+    label) rather than paired directly.
+
+    r08 note (measured, then deliberately left alone): a rewrite of the
+    pair cosine onto 64 flat unit-component columns made the steady-state
+    dot whole-stage-codegen (~150x per pair) but the pair dot is NOT where
+    this operator's time goes (pairs are block-bounded; the cost is the
+    label join + block-count stages), and the 128-column projections cost
+    ~2 s of janino compilation per cold plan — a net LOSS under the
+    bench's fresh-session best-of-2 protocol and for any short-lived job.
+    The array formulation stays; see OPTIMIZATION_r08.md."""
     e = _emb(spark, sf_dir).select(
         "label", "vec_id", _unit(F.col("embedding")).alias("unit")
     )
@@ -2636,18 +2761,50 @@ FROM scored
 
 def q_repetition_score(spark, sf_dir):
     """Within-document repetition signals (Gopher-style quality rules):
-    duplicate word fraction and duplicate word-trigram fraction are
-    MAP-SIDE array expressions (no shuffle); the top-token frequency
-    fraction needs a per-(doc, token) count — one hash groupBy + a per-doc
-    max, the standard two-aggregation shape. High values flag the
-    boilerplate/spam documents a training pipeline drops."""
+    duplicate word fraction, duplicate word-trigram fraction AND the
+    top-token frequency fraction are all MAP-SIDE array expressions —
+    zero shuffles (r08; the top-token max is the longest equal-run of
+    the sorted token array, replacing the exploded per-(doc, token)
+    groupBy + per-doc max + join the r05 shape paid). High values flag
+    the boilerplate/spam documents a training pipeline drops."""
     d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
-    toks = F.split(F.col("text"), " ")
+    # r08: tokens are a NAMED column. The old trigram transform captured
+    # `split(text, ' ')` inside its lambda, and Catalyst re-evaluates a
+    # captured non-lambda subexpression on every element — an O(tokens^2)
+    # re-split per document. An attribute reference is a row-field read.
+    staged = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    toks = F.col("_toks")
     tri = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        "transform(sequence(1, greatest(size(_toks) - 2, 1)),"
+        " i -> concat_ws(' ', slice(_toks, i, 3)))"
     )
-    base = d.select(
+    # r08: top-token count is MAP-SIDE (guide §2.4 — remove shuffles
+    # outright): the max per-token multiplicity inside one document is
+    # the longest equal-run of the doc's SORTED token array — computed by
+    # one fold, replacing a corpus-wide (doc_id, token) exploded shuffle,
+    # a second per-doc groupBy, and the doc-keyed join back to the
+    # feature frame (three exchanges, all carrying token-level rows at
+    # 100 TB). Value-identical (parity-gated at sf0.001/0.01/0.1).
+    run_acc = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("mx"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, t: F.struct(
+            F.when(acc["prev"].isNotNull() & (t == acc["prev"]),
+                   acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(acc["prev"].isNotNull() & (t == acc["prev"]),
+                       acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("mx"),
+            t.alias("prev"),
+        ),
+        lambda acc: acc["mx"],
+    )
+    return staged.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.round(
@@ -2656,22 +2813,7 @@ def q_repetition_score(spark, sf_dir):
         F.round(1 - F.size(F.array_distinct(tri)) / F.size(tri), 4).alias(
             "dup_trigram_frac"
         ),
-    )
-    top = (
-        d.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_tok_n"))
-    )
-    return base.join(top, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "dup_word_frac",
-        "dup_trigram_frac",
-        F.round(F.col("top_tok_n") / F.col("n_tokens"), 4).alias(
-            "top_token_frac"
-        ),
+        F.round(run_acc / F.size(toks), 4).alias("top_token_frac"),
     )
 
 
@@ -4546,6 +4688,17 @@ def q_hits_scores(spark, sf_dir, k: int = _HITS_K):
     and small, plan stays shallow (the pagerank localCheckpoint note
     applies to many-iteration runs)."""
     base, sc, edges = _content_link_edges(spark, sf_dir)
+    if k > 1:
+        # r08 (VERDICT r07 #6): the power iteration references ``edges``
+        # 2k times; a lazy localCheckpoint materializes the edge
+        # derivation (crossJoin+explode+distinct+semi-join) ONCE on first
+        # action and every later reference reads the checkpointed
+        # partitions — enforcement of the "edges computed once" claim
+        # instead of relying on exchange reuse, and the plan stays
+        # shallow as k grows (the dedup_clusters CC-loop convention).
+        # Cleaned by the ContextCleaner when the RDD is GC'd, so no
+        # explicit release is needed.
+        edges = edges.localCheckpoint(eager=False)
     nodes = base.select("doc_id")
     hubs = nodes.select(
         "doc_id", F.lit(_HITS_SCALE).cast("long").alias("s")
@@ -4758,24 +4911,50 @@ def q_semantic_dedup(spark, sf_dir):
         F.col("vec_id")
         % F.expr(f"(n_cluster + {_SEM_BLOCK_CAP - 1}) div {_SEM_BLOCK_CAP}"),
     )
-    a = blocked.select(
-        F.col("cluster").alias("cl"),
-        F.col("blk").alias("bk"),
-        F.col("vec_id").alias("va"),
-        F.col("unit").alias("ua"),
-    )
-    b = blocked.select(
-        F.col("cluster").alias("cl"),
-        F.col("blk").alias("bk"),
-        F.col("vec_id").alias("vb"),
-        F.col("unit").alias("ub"),
-    )
+    # r08 (guide §4.2): the within-block pairwise prune moved from a
+    # (cl, bk)-keyed SELF-JOIN + interpreted per-pair _dot (~8M pairs x
+    # 15 µs at sf1.0 — 12.9 of the operator's 14.5 s) to ONE
+    # applyInPandas kernel per (cl, bk) group: every vector crosses the
+    # boundary ONCE (not once per pair) and the n x n cosine matrix is
+    # accumulated dimension-by-dimension in numpy — left-associative in
+    # dimension order, element-wise ufuncs only, so each pair's dot is
+    # bit-identical to the F.aggregate/list_sum fold. The threshold test
+    # round(cos, 4) >= tau is applied as ``cos >= B`` where B is the
+    # smallest double whose exact value is >= tau - 0.00005 — exactly
+    # the set of doubles HALF_UP decimal rounding sends to >= tau, so no
+    # float-rounding re-implementation is involved (parity-gated at
+    # sf0.001/0.01/0.1). Group size is bounded by _SEM_BLOCK_CAP, so
+    # per-task memory is <= cap^2 doubles — the same quadratic budget
+    # the join's per-key output already implied, now without shuffling
+    # it. Each vector belongs to exactly one (cl, bk) group, so emitted
+    # removals are globally unique (the old .distinct() is obsolete).
+    import numpy as np
+    import pandas as pd
+    from decimal import Decimal
+
+    # exact decimal boundary: HALF_UP(x, 4) >= tau  <=>  x >= tau - 5e-5
+    dec_bound = Decimal(str(_SEM_TAU)) - Decimal("0.00005")
+    b_thr = float(dec_bound)
+    if Decimal(b_thr) < dec_bound:
+        b_thr = float(np.nextafter(b_thr, np.inf))
+
+    def _prune_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array([np.asarray(u, dtype=np.float64)
+                        for u in pdf["unit"]])
+        g = mat[:, 0][:, None] * mat[:, 0][None, :]
+        for i in range(1, mat.shape[1]):
+            g = g + mat[:, i][:, None] * mat[:, i][None, :]
+        hit = np.triu(g >= b_thr, k=1)  # [a, b] with a < b in vec_id order
+        return pd.DataFrame({"vec_id": ids[hit.any(axis=0)]})
+
     removed = (
-        a.join(b, ["cl", "bk"])
-        .filter(F.col("va") < F.col("vb"))
-        .filter(F.round(_dot(F.col("ua"), F.col("ub")), 4) >= _SEM_TAU)
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
+        blocked.select("cluster", "blk", "vec_id", "unit")
+        .groupBy("cluster", "blk")
+        .applyInPandas(_prune_group, "vec_id long")
         .withColumn("rm", F.lit(1))
     )
     out = blocked.join(removed, "vec_id", "left").select(
@@ -5731,11 +5910,16 @@ def q_jl_projection(spark, sf_dir):
     from .functions.similarity import _hyperplanes
 
     planes = _hyperplanes(64, _JL_K, _JL_SEED)
-    unit = _unit(F.col("embedding"))
+    # r08: the unit vector is a NAMED column referenced by the 16 plane
+    # dots — one evaluation per row. Passing the _unit(...) expression
+    # directly into the comps array duplicated it syntactically 16x
+    # (each reference re-normalized the row; with the old O(dim^2)
+    # _unit this operator measured 14.2 s at sf1.0 for a pure map).
+    unit_col = F.col("_u")
     comps = F.array(
         *[
             F.round(
-                _dot(unit, F.array(*[F.lit(float(v)) for v in plane]))
+                _dot(unit_col, F.array(*[F.lit(float(v)) for v in plane]))
                 / F.lit(4.0),
                 4,
             )
@@ -5746,6 +5930,7 @@ def q_jl_projection(spark, sf_dir):
     )
     return (
         _emb(spark, sf_dir)
+        .select("vec_id", _unit(F.col("embedding")).alias("_u"))
         .select("vec_id", F.posexplode(comps).alias("dim", "comp"))
         .select("vec_id", F.col("dim").cast("long").alias("dim"), "comp")
     )
@@ -5821,8 +6006,13 @@ def q_quality_tiers(spark, sf_dir):
 def _quality_key_frame(spark, sf_dir):
     """(doc_id, source, quality_key) — the scaled-integer score key,
     single-sourced between q_quality_tiers and
-    q_source_quality_report."""
-    return _quality_scored(spark, sf_dir).select(
+    q_source_quality_report. r08: spread — the sf tables are one parquet
+    row group, and this frame is computed TWICE per tier query (once for
+    the histogram fold at build time, once in the returned plan), so the
+    single-task scan serialized the whole feature pass twice; the
+    round-robin fan-out is the only exchange added (plan gates updated to
+    pin 'no KEYED exchange' rather than 'no exchange')."""
+    return _quality_scored(spark, sf_dir, spread=True).select(
         "doc_id",
         "source",
         F.round(F.col("quality_score") * 10000, 0)

@@ -71,23 +71,54 @@ def test_small_side_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_ann_query_broadcasts_queries(spark):
+def test_ann_query_small_side_by_closure(spark):
+    """r08: the 5-vector query side ships by closure (bounded 5-row
+    collect, the ann_ivf centroid-literal pattern) into ONE numpy
+    mapInArrow scoring hop — no per-pair join node at all, so no
+    broadcast is needed and none may silently grow into a shuffle join.
+    The window stays the per-query top-k only."""
     plan = _plan(q_ann_cosine_topk(spark, SF))
-    assert "Broadcast" in plan, plan
+    assert "InArrow" in plan, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_salted_exchange_feeds_python_stage(spark):
     """The Arrow UDF must run AFTER the salted repartition so mega-document
-    spans spread across tasks before hitting Python."""
+    spans spread across tasks before hitting Python. Since r08 the salt key
+    is (doc_id, _chunk = pos div 256) — still mega-doc-defusing (a doc's
+    chunks spread over all buckets, <=256 spans per doc per task) AND
+    aligned with the reassembly's phase-1 group key so that groupBy needs
+    no exchange of its own (see test_reassembly_phase1_reuses_salt_exchange)."""
     df = spans_from_documents(spark, SF)
     clean = sanitize_exploded(explode_spans(df), None, salt_buckets=16)
     plan = _plan(clean)
     arrow_at = plan.index("ArrowEvalPython")
     exch_at = plan.index("REPARTITION_BY_NUM")
     # tree prints parents first: the Exchange (child) appears after the
-    # ArrowEvalPython line, and the repartition expression is the salt hash
+    # ArrowEvalPython line, and the repartition key is the chunk salt
     assert exch_at > arrow_at, plan
-    assert "pmod(xxhash64(doc_id" in plan, plan
+    assert "hashpartitioning(doc_id" in plan and "_chunk" in plan, plan
+
+
+def test_exploded_pipeline_exchange_budget(spark):
+    """r08 exchange-budget gate (guide §2.4): the full exploded pipeline
+    is exactly THREE hash exchanges — chunk salt, phase-1 (doc_id, _chunk)
+    collect, per-doc merge — and the salt keys EQUAL the phase-1 group
+    keys. Spark 4.1's EvalPythonExec drops outputPartitioning (verified
+    with a minimal repro, OPTIMIZATION_r08.md), so the phase-1 exchange
+    cannot be elided while the Arrow UDF sits between salt and reassembly;
+    if that ever changes upstream, this count drops to 2 for free because
+    the keys already line up. A 4th exchange appearing means a regression
+    (e.g. someone re-keyed the salt away from the reassembly chunks)."""
+    from html_sanitizer_spark.pipeline.job import sanitize_spans
+
+    out = sanitize_spans(spark, spans_from_documents(spark, SF),
+                         explode=True, salt_buckets=16)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the salt exchange and the phase-1 aggregate share the same key pair
+    assert "_chunk" in plan, plan
 
 
 def test_wholestage_codegen_on_jvm_operators(spark):
@@ -744,7 +775,12 @@ def test_r07_ops_plan_shapes(spark):
     )
 
     plan = _plan(q_quality_tiers(spark, SF))
-    assert "Exchange" not in plan, plan
+    # r08: the _spread round-robin fan-out is permitted (single-row-group
+    # sf scans serialize the feature pass otherwise); still no KEYED
+    # exchange — tier assignment itself stays a map-side CASE.
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange") <= 1, plan
 
     plan = _plan(q_gopher_filters(spark, SF))
     assert "hashpartitioning" not in plan.lower(), plan
@@ -780,8 +816,10 @@ def test_r07_ops_plan_shapes(spark):
     for fn in (q_source_quality_report, q_token_budget_report):
         plan = _plan(fn(spark, SF))
         assert "rangepartitioning" not in plan.lower(), plan
-        assert plan.lower().count("hashpartitioning") >= 1, plan
-        assert plan.count("Exchange") == 1, plan
+        # exactly ONE keyed exchange (the tiny-domain groupBy); r08 allows
+        # the additional _spread round-robin fan-out on the scan side
+        assert plan.lower().count("exchange hashpartitioning") == 1, plan
+        assert plan.count("Exchange") <= 2, plan
         assert "partial" in plan.lower(), plan  # map-side combine present
 
     # cosine_threshold_report: the blocked join embedding_neardup already
@@ -800,6 +838,11 @@ def test_r07_ops_plan_shapes(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "partial" in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan  # 1-row crossJoins only
+    # r08 (VERDICT r07 #6): the edge derivation must be ENFORCED as
+    # computed-once — the 2k power-iteration references read the lazily
+    # localCheckpointed edge RDD, not 2k copies of the
+    # crossJoin+explode+distinct subtree
+    assert "ExistingRDD" in plan, plan
 
     # anchor_texts: one Arrow hop + a href-keyed rollup, no sorts
     from html_sanitizer_spark.queries import q_anchor_texts
