@@ -13,10 +13,13 @@ Exploded path (default — skew-proof):
       -> sanitize_udf on text-kind spans          [the only JVM<->Python
                                                    Arrow hop]
       -> two-phase reassembly:
-           groupBy(doc_id, _chunk) partial collect [NO shuffle since r08 —
-                                                   already co-partitioned by
-                                                   the salt exchange]
-           groupBy(doc_id) merge + array_sort     [SHUFFLE 2 — one row per
+           groupBy(doc_id, _chunk) partial collect [SHUFFLE 2a — same key as
+                                                   the salt, bounded group
+                                                   size; elided for free if
+                                                   Spark ever preserves
+                                                   partitioning through
+                                                   EvalPythonExec]
+           groupBy(doc_id) merge + array_sort     [SHUFFLE 2b — one row per
                                                    doc; sort restores span
                                                    order by pos]
 
@@ -67,15 +70,19 @@ def sanitize_exploded(
     across tasks before hitting Python (the skew defusal the north_rule
     requires; per-task state from any one document is bounded by
     chunk_size spans, the same bound the reassembly's phase-1 group
-    already imposes). r08 change (guide §2.4 — share one exchange between
-    operations keyed the same way): salting by the REASSEMBLY's own chunk
-    key instead of hash(doc_id, pos) means the phase-1
-    groupBy(doc_id, _chunk) downstream is already co-partitioned and
-    needs NO exchange — one full shuffle of the sanitized spans removed
-    from the pipeline (plans/r08/sanitize_docs_exploded_{before,after}.txt:
-    3 Exchanges -> 2). The span's own row carries ``pos``, so order needs
-    no co-location; output is span-for-span identical (tier-1 replay +
-    sanitize_structure/span oracles unchanged).
+    already imposes). r08 change (guide §2.4 — key operations the same
+    way so one exchange CAN be shared): the salt key now equals the
+    reassembly's phase-1 group key. The intended exchange elision does
+    not fire yet — Spark 4.1's EvalPythonExec drops outputPartitioning,
+    so EnsureRequirements re-shuffles above the Arrow UDF regardless
+    (verified with a minimal repro; OPTIMIZATION_r08.md) — but the
+    aligned key measured ~15% on the exploded leg on its own, the gate
+    test_exploded_pipeline_exchange_budget pins the <=3-exchange budget,
+    and if upstream ever preserves partitioning through Python nodes the
+    third exchange disappears with no further change here. The span's
+    own row carries ``pos``, so order needs no co-location; output is
+    span-for-span identical (tier-1 replay + sanitize_structure/span
+    oracles unchanged).
     """
     udf = make_sanitize_udf(settings, memoize=memoize, on_error=on_error)
     salted = False
@@ -138,9 +145,11 @@ def reassemble_spans(
 
     When the incoming frame already carries a ``_chunk`` column (the
     chunk-aligned salt sanitize_exploded applies since r08), phase 1
-    groups on that exact attribute: the frame is hash-partitioned by
-    (doc_id, _chunk), so the partial collect needs no exchange of its own
-    — the reassembly costs ONE shuffle (the per-doc merge) instead of two.
+    groups on that exact attribute — the same key the salt exchange
+    partitioned by. (The phase-1 exchange is not elided yet: Spark 4.1's
+    EvalPythonExec drops outputPartitioning, see sanitize_exploded; the
+    alignment still avoids any FOURTH shuffle and makes the elision
+    automatic if that upstream limitation lifts.)
     """
     keyed = F.when(
         F.col("pos").isNotNull(),
@@ -274,8 +283,8 @@ def extract_spans(
     exploded = explode_spans(df)
     salted = False
     if salt_buckets:
-        # chunk-aligned salt (r08): same key the reassembly groups on, so
-        # phase 1 reuses this exchange — see sanitize_exploded
+        # chunk-aligned salt (r08): same key the reassembly groups on —
+        # see sanitize_exploded for why/limits
         exploded = exploded.withColumn(
             "_chunk", (F.col("pos").cast("long") / F.lit(256)).cast("long")
         ).repartition(salt_buckets, "doc_id", "_chunk")

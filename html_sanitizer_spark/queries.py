@@ -979,12 +979,17 @@ def q_paragraph_dedup(spark, sf_dir):
     hash, never all-pairs). Per-doc rollup: total / globally-duplicated /
     kept paragraph counts."""
     d = _spread(spark, _docs(spark, sf_dir).filter(F.col("n_chars") > 0))
-    toks = F.split(F.col("text"), " ")
+    # r08: token array staged as a column — the slice lambda previously
+    # captured the split() expression and re-split the text once per
+    # paragraph (the lambda-capture re-evaluation pathology, see
+    # OPTIMIZATION_r08.md); an attribute reference is a row-field read.
+    staged = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    toks = F.col("_toks")
     paras = F.transform(
         F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / F.lit(8)).cast("int")),
         lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
     )
-    ex = d.select("doc_id", F.posexplode(paras).alias("pos", "para"))
+    ex = staged.select("doc_id", F.posexplode(paras).alias("pos", "para"))
     h = ex.select("doc_id", "pos", F.md5("para").alias("ph"))
     # ONE window spec for both functions (VERDICT r05 next-round #8): the
     # ordered spec with an explicit unbounded frame makes count() compute
@@ -4088,14 +4093,19 @@ def q_line_dedup(spark, sf_dir, df_threshold: int = 3):
         ),
         F.col("text"),
     )
-    ws = F.split(aug, " ")
+    # r08: the augmented token array is staged as a column — the slice
+    # lambda previously captured the split(concat_ws(...)) expression and
+    # re-built+re-split the banner+text once per chunk (lambda-capture
+    # re-evaluation, see OPTIMIZATION_r08.md).
+    staged = d.select("doc_id", F.split(aug, " ").alias("_ws"))
+    ws = F.col("_ws")
     chunks = F.transform(
         F.sequence(
             F.lit(0), (F.ceil(F.size(ws) / F.lit(10)) - F.lit(1)).cast("int")
         ),
         lambda i: F.array_join(F.slice(ws, i * 10 + 1, 10), " "),
     )
-    ch = d.select(
+    ch = staged.select(
         "doc_id", F.posexplode(chunks).alias("idx", "chunk")
     ).withColumn("ph", F.md5("chunk"))
     dfreq = ch.groupBy("ph").agg(
@@ -4332,14 +4342,19 @@ def q_substring_dedup(spark, sf_dir):
         ),
         F.col("text"),
     )
-    ws = F.split(aug, " ")
+    # r08: the token array is staged as a column (the slice lambda
+    # previously captured split(concat_ws(...)) and re-built it once per
+    # window — ~50 re-splits per document; lambda-capture re-evaluation,
+    # see OPTIMIZATION_r08.md), and windows are hashed INSIDE the
+    # transform so only the 32-char digest — never the 10-token window
+    # string — flows through the explode.
+    staged = d.select("doc_id", F.split(aug, " ").alias("_ws"))
+    ws = F.col("_ws")
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - F.lit(10), F.lit(0))),
-        lambda i: F.array_join(F.slice(ws, i + 1, 10), " "),
+        lambda i: F.md5(F.array_join(F.slice(ws, i + 1, 10), " ")),
     )
-    w = d.select(
-        "doc_id", F.explode(windows).alias("w")
-    ).withColumn("wh", F.md5("w"))
+    w = staged.select("doc_id", F.explode(windows).alias("wh"))
     dfreq = w.groupBy("wh").agg(
         F.countDistinct("doc_id").alias("wdf")
     )
@@ -4547,6 +4562,12 @@ def q_link_pagerank(spark, sf_dir, k: int = 3, damping: float = 0.85):
     num = int(round(damping * 100))  # 85
     rem = 100 - num  # 15
     base, sc, edges = _content_link_edges(spark, sf_dir)
+    if k > 1:
+        # r08: same enforcement as q_hits_scores — each damped iteration
+        # references ``edges`` (contribution join) and its degree table;
+        # a lazy localCheckpoint materializes the edge derivation once,
+        # keeps the plan shallow in k, and is auto-cleaned on RDD GC.
+        edges = edges.localCheckpoint(eager=False)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = base.select("doc_id").crossJoin(sc).select(
         "doc_id", F.expr(f"{scale} div n").alias("r")
