@@ -4842,7 +4842,9 @@ def _sem_assign(qcol, cents):
     """Map-side argmin over centroid LITERALS (the ivf_topk pattern:
     K is tiny, so assignment is a zero-shuffle expression, not a join).
     Distances are exact BIGINT sums of squared coordinate deltas;
-    ties break toward the smallest cid via struct ordering."""
+    ties break toward the smallest cid via struct ordering. (Kept as the
+    expression form for reference/tests; the operator itself uses
+    _sem_assign_arrow — same argmin, native speed.)"""
     alts = []
     for cid, cv in cents:
         lit = F.array(*[F.lit(int(v)) for v in cv])
@@ -4855,6 +4857,46 @@ def _sem_assign(qcol, cents):
             F.struct(dist.alias("dist"), F.lit(int(cid)).cast("int").alias("cid"))
         )
     return F.array_min(F.array(*alts))["cid"]
+
+
+def _sem_assign_arrow(df: DataFrame, cents, out_name: str) -> DataFrame:
+    """Nearest-centroid assignment as ONE mapInArrow numpy kernel (r08,
+    guide §4.2): appends ``out_name`` (int cluster id) to ``df``, which
+    must carry the quantized ``qv`` column. The arithmetic is EXACT
+    int64 (squared-delta sums of quantized coordinates — no float order
+    concerns at all), and np.argmin's first-minimum rule over centroids
+    sorted by cid reproduces the expression form's tie-toward-smallest-
+    cid struct ordering bit for bit. Centroids ship by closure (the
+    ivf centroid-literal pattern); K x batch x dim int64 temporaries are
+    bounded by the Arrow batch size. Replaces 8 interpreted zip_with+
+    aggregate chains per row (~3 passes over the corpus per query)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    ordered = sorted(cents, key=lambda c: c[0])
+    cent_mat = np.array([cv for _, cv in ordered], dtype=np.int64)
+    cid_arr = np.array([cid for cid, _ in ordered], dtype=np.int32)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_name, T.IntegerType())]
+    )
+
+    def run(batches):
+        for batch in batches:
+            names = batch.schema.names
+            qv = batch.column(names.index("qv"))
+            n = len(batch)
+            mat = (
+                qv.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.int64).reshape(n, cent_mat.shape[1])
+            )
+            diff = mat[None, :, :] - cent_mat[:, None, :]
+            dist = (diff * diff).sum(axis=2)  # (K, n), exact int64
+            out = cid_arr[np.argmin(dist, axis=0)]
+            yield batch.append_column(out_name, pa.array(out, pa.int32()))
+
+    return df.mapInArrow(run, out_schema)
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -4907,7 +4949,7 @@ def q_semantic_dedup(spark, sf_dir):
     )
     cents = [(i, [int(v) for v in r["qv"]]) for i, r in enumerate(seed_rows)]
     for _ in range(_SEM_ITERS):
-        assigned = e.select("qv", _sem_assign(F.col("qv"), cents).alias("cid"))
+        assigned = _sem_assign_arrow(e.select("qv"), cents, "cid")
         sums = assigned.groupBy("cid").agg(
             F.count(F.lit(1)).alias("n"),
             *[
@@ -4923,9 +4965,9 @@ def q_semantic_dedup(spark, sf_dir):
         }
         # empty clusters keep their previous centroid (deterministic)
         cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
-    final = e.select(
-        "vec_id", "unit", _sem_assign(F.col("qv"), cents).alias("cluster")
-    )
+    final = _sem_assign_arrow(
+        e.select("vec_id", "unit", "qv"), cents, "cluster"
+    ).drop("qv")
     sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_cluster"))
     blocked = final.join(F.broadcast(sizes), "cluster").withColumn(
         "blk",

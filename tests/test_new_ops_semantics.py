@@ -853,3 +853,40 @@ def test_semantic_dedup_hot_cluster_cap_binds(spark):
     assert o == {
         r.vec_id: (r.cluster, r.n_cluster, r.is_removed) for r in out
     }
+
+
+def test_sem_assign_kernel_matches_expression_form(spark):
+    """r08: the numpy assignment kernel (_sem_assign_arrow) must agree
+    with the Catalyst expression form (_sem_assign) on every vector —
+    including distance TIES, which both must break toward the smallest
+    cid. The arithmetic is exact int64 on both paths, so agreement is
+    bitwise, not approximate; a synthetic duplicate centroid forces the
+    tie branch."""
+    import random
+
+    from html_sanitizer_spark.queries import _sem_assign, _sem_assign_arrow
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.randrange(3_990_000, 4_010_000) for _ in range(8)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "qv"])
+    cents = [(c, [rng.randrange(3_990_000, 4_010_000) for _ in range(8)])
+             for c in range(4)]
+    cents.append((4, list(cents[1][1])))  # duplicate centroid -> exact ties
+    expr = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id", _sem_assign(F.col("qv"), cents).alias("cid")
+        ).collect()
+    }
+    kern = {
+        r["vec_id"]: r["cid"]
+        for r in _sem_assign_arrow(df, cents, "cid").select(
+            "vec_id", "cid"
+        ).collect()
+    }
+    assert expr == kern
+    # the duplicate of cid 1 must never win a tie
+    assert 4 not in set(kern.values())
