@@ -34,7 +34,10 @@ from __future__ import annotations
 import binascii
 from hashlib import md5 as _md5
 
-__all__ = ["winnow_counts", "minhash_bands", "winnow_count_py", "minhash_bands_py"]
+__all__ = [
+    "winnow_counts", "minhash_bands", "simhash64_batch",
+    "winnow_count_py", "minhash_bands_py", "simhash64_py",
+]
 
 
 def _gram_digests(text: str, k: int) -> bytes:
@@ -104,3 +107,63 @@ def minhash_bands(texts: list):
         for c, v in zip(cols, bands):
             c.append(v)
     return cols
+
+
+def _simhash_token_digests(texts: list):
+    """Per-doc whitespace tokens -> concatenated md5 digests + counts.
+
+    Tokenization matches ``split(text, ' +')`` + ``tok <> ''`` exactly:
+    splitting on runs of ASCII spaces and dropping empties is the same
+    token multiset as ``[t for t in s.split(' ') if t]`` (leading/trailing
+    empties and the empties a run produces are all filtered). NULL text
+    yields no tokens (explode of the null array emits no rows)."""
+    kept, counts, bufs = [], [], []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = [x for x in t.split(" ") if x]
+        if not toks:
+            continue
+        kept.append(i)
+        counts.append(len(toks))
+        bufs.append(b"".join(_md5(x.encode()).digest() for x in toks))
+    return kept, counts, b"".join(bufs)
+
+
+def simhash64_batch(texts: list):
+    """(kept_row_indices, [simhash ...]) for a batch of document texts —
+    bit-identical to the expression pipeline in queries._simhash_of_texts'
+    docstring: bit b of the hash reads bit (b % 4) of hex nibble (b // 4)
+    of md5(token); per-bit votes are +/-1 per token; sign > 0 sets the
+    bit (bit 63 contributing INT64_MIN via two's complement). Docs with
+    no tokens produce no output row, matching the groupBy-over-exploded-
+    tokens form where such docs never reach the aggregate."""
+    import numpy as np
+
+    kept, counts, buf = _simhash_token_digests(texts)
+    if not kept:
+        return [], []
+    # first 16 hex nibbles == first 8 digest bytes; nibble 2j is the high
+    # half of byte j, nibble 2j+1 the low half
+    by = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)[:, :8]
+    nib = np.empty((by.shape[0], 16), dtype=np.uint8)
+    nib[:, 0::2] = by >> 4
+    nib[:, 1::2] = by & 15
+    # bit b = (nib[b // 4] >> (b % 4)) & 1 -> nibble-major, shift-minor
+    bits = (
+        (nib[:, :, None] >> np.arange(4, dtype=np.uint8)[None, None, :]) & 1
+    ).reshape(-1, 64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    votes = np.add.reduceat(2 * bits.astype(np.int64) - 1, starts, axis=0)
+    sel = (votes > 0).astype(np.uint64)
+    sims = (sel << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    ).view(np.int64)
+    return kept, sims.tolist()
+
+
+def simhash64_py(text: str) -> int:
+    """Single-document SimHash-64 (test/reference entry point)."""
+    _, sims = simhash64_batch([text])
+    return sims[0] if sims else None

@@ -1283,54 +1283,55 @@ FROM documents GROUP BY lang
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash-64 over whitespace tokens, fully JVM-native: per-token md5,
-    bit b read from hex nibble b//4 of the digest, per-bit +/-1 vote,
-    sign -> bit. The md5 basis (vs Spark's xxhash64) makes the sketch
-    portable, so it is fully DuckDB-oracled (VERDICT r01 next-round #5)."""
+    """SimHash-64 over whitespace tokens: per-token md5, bit b read from
+    hex nibble b//4 of the digest, per-bit +/-1 vote, sign -> bit. The md5
+    basis (vs Spark's xxhash64) makes the sketch portable, so it is fully
+    DuckDB-oracled (VERDICT r01 next-round #5)."""
     d = _spread(spark, _docs(spark, sf_dir))
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok")
-    ).filter(F.col("tok") != "")
-    return _simhash_of_tokens(tok)
+    return _simhash_of_texts(d.select("doc_id", "text"))
 
 
-def _simhash_of_tokens(tok: DataFrame) -> DataFrame:
-    """(doc_id, tok) stream -> (doc_id, simhash BIGINT). Shared by
+def _simhash_of_texts(d: DataFrame) -> DataFrame:
+    """(doc_id, text) frame -> (doc_id, simhash BIGINT). Shared by
     q_simhash (raw corpus basis) and q_simhash_neardup (augmented basis);
-    extracting the vote/sign pipeline keeps the sketch definition single-
-    sourced so the two oracles can't drift apart."""
-    h = tok.select("doc_id", F.md5("tok").alias("h"))
-    # bit b of the 64-bit hash = bit (b % 4) of hex nibble (b // 4)
-    nibbles = [
-        F.conv(F.substring("h", n + 1, 1), 16, 10).cast("int").alias(f"n{n}")
-        for n in range(16)
-    ]
-    hn = h.select("doc_id", *nibbles)
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    v = hn.groupBy("doc_id").agg(*votes)
-    bit_terms = [
-        F.when(
-            F.col(f"v{b}") > 0,
-            F.lit(int(2 ** b if b < 63 else -(2 ** 63))).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    expr = bit_terms[0]
-    for t in bit_terms[1:]:
-        expr = expr + t
-    return v.select("doc_id", expr.alias("simhash"))
+    keeping the sketch definition single-sourced so the two oracles can't
+    drift apart.
+
+    r08 (guide §4.2): the explode -> md5 -> 16x conv -> 64-column
+    two-phase vote aggregate (a token-level keyed exchange; 64 interpreted
+    when/sum columns — plans/r08/simhash64_before.txt) is now ONE
+    mapInArrow kernel (functions/fingerprint.py::simhash64_batch):
+    hashlib's C md5 per token, numpy bit extraction and per-doc vote
+    reduction. All of a doc's tokens live in its own row, so the group-by
+    disappears — the operator is a pure map with ZERO keyed exchanges.
+    Tokenization (split ' +', drop empties), vote arithmetic (exact
+    integers) and the sign->bit assembly (uint64 two's complement) are
+    bit-identical; docs with no tokens are dropped exactly as the
+    aggregate form dropped them. Oracle SQL untouched; parity-gated."""
+    import pyarrow as pa
+
+    from .functions.fingerprint import simhash64_batch
+
+    def kernel(batches):
+        for batch in batches:
+            names = batch.schema.names
+            texts = batch.column(names.index("text")).to_pylist()
+            kept, sims = simhash64_batch(texts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(names.index("doc_id")).take(
+                        pa.array(kept, pa.int64())
+                    ),
+                    pa.array(sims, pa.int64()),
+                ],
+                names=["doc_id", "simhash"],
+            )
+
+    return d.mapInArrow(kernel, "doc_id long, simhash long")
 
 
 def _simhash_oracle_ctes(text_source: str = "SELECT doc_id, text FROM documents") -> str:
-    """Generated (deterministic) DuckDB twin of _simhash_of_tokens as a
+    """Generated (deterministic) DuckDB twin of _simhash_of_texts as a
     chain of CTE bodies ending in ``s(doc_id, simhash)``; callers embed it
     in a WITH clause. ``text_source`` must select (doc_id, text)."""
     votes = ", ".join(
@@ -4228,10 +4229,7 @@ def q_simhash_neardup(spark, sf_dir):
             ),
         ),
     )
-    tok = d.select(
-        "doc_id", F.explode(F.split(aug, " +")).alias("tok")
-    ).filter(F.col("tok") != "")
-    sig = _simhash_of_tokens(tok)
+    sig = _simhash_of_texts(d.select("doc_id", aug.alias("text")))
     stacked = sig.select(
         "doc_id",
         "simhash",

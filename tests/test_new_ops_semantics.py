@@ -890,3 +890,70 @@ def test_sem_assign_kernel_matches_expression_form(spark):
     assert expr == kern
     # the duplicate of cid 1 must never win a tie
     assert 4 not in set(kern.values())
+
+
+def test_simhash_kernel_matches_expression_form(spark):
+    """r08: the simhash64_batch numpy/md5 kernel behind _simhash_of_texts
+    must agree bitwise with the r07 Catalyst expression pipeline
+    (explode -> md5 -> conv nibbles -> 64 when/sum votes -> sign bits),
+    reconstructed here as the reference — including zero-vote bits
+    (vote <= 0 -> bit 0), bit 63's INT64_MIN contribution, multi-space
+    runs, non-ASCII tokens, and the dropped-row contract for docs whose
+    token stream is empty (NULL / '' / all-spaces never reach the
+    aggregate in the expression form)."""
+    from html_sanitizer_spark.queries import _simhash_of_texts
+
+    rows = [
+        (0, "hello world hello"),
+        (1, "  leading  and   trailing   "),
+        (2, ""),
+        (3, "   "),
+        (4, None),
+        (5, "único tokén ünïcode 漢字 漢字"),
+        (6, "x"),
+        (7, "a b a b"),  # even token count -> zero-vote candidates
+        (8, "novelty0 novelty1 novelty2 " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), " +")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = tok.select("doc_id", F.md5("tok").alias("h"))
+    nibbles = [
+        F.conv(F.substring("h", n + 1, 1), 16, 10).cast("int").alias(f"n{n}")
+        for n in range(16)
+    ]
+    hn = h.select("doc_id", *nibbles)
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    v = hn.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(
+            F.col(f"v{b}") > 0,
+            F.lit(int(2 ** b if b < 63 else -(2 ** 63))).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    expr_col = bit_terms[0]
+    for t in bit_terms[1:]:
+        expr_col = expr_col + t
+    expected = {
+        r["doc_id"]: r["simhash"]
+        for r in v.select("doc_id", expr_col.alias("simhash")).collect()
+    }
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in _simhash_of_texts(df.select("doc_id", "text")).collect()
+    }
+    assert got == expected
+    assert set(got) == {0, 1, 5, 6, 7, 8}  # 2/3/4 dropped on both paths

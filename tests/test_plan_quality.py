@@ -524,7 +524,9 @@ def test_simhash_neardup_map_side_pairs_no_self_join(spark):
     MAP-SIDE from capped band buckets (the minhash-pairs topology), never
     a band-key self-join — so no cartesian/nested-loop fallback anywhere,
     no range partitioning / global sort, the bucket cap is in the plan,
-    and the 64-bit vote aggregation keeps its map-side partial."""
+    and (r08) the sketch itself is ONE mapInArrow kernel hop — the former
+    token-level explode + 64-column vote aggregate and its keyed exchange
+    are gone from the plan entirely."""
     import re
 
     from html_sanitizer_spark.queries import q_simhash_neardup
@@ -537,6 +539,22 @@ def test_simhash_neardup_map_side_pairs_no_self_join(spark):
     # the oversized-bucket skew guard must survive into the physical plan
     assert re.search(r"size\(docs#\d+[^)]*\) <= 100", plan), plan
     assert plan.count("HashAggregate") >= 2, plan
+    # r08 sketch kernel: one Arrow hop, no token explode feeding it
+    assert plan.count("MapInArrow") >= 1, plan
+    assert "explode(split(" not in plan, plan
+
+
+def test_simhash64_pure_map_kernel(spark):
+    """r08: simhash64 is a pure map — scan -> spread -> ONE mapInArrow
+    kernel. No keyed exchange, no explode, no aggregate anywhere (the
+    vote pipeline lives inside the kernel; plans/r08/simhash64_after)."""
+    from html_sanitizer_spark.queries import q_simhash
+
+    plan = _plan(q_simhash(spark, SF))
+    assert plan.count("MapInArrow") >= 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Generate" not in plan, plan
 
 
 def test_substring_dedup_hash_exchanges_only(spark):
